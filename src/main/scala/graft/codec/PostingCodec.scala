@@ -1,0 +1,198 @@
+package graft.codec
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Variable-byte (VByte / LEB128) codec for unsigned longs.
+  *
+  * 7 data bits per byte, high bit set on all bytes except the last of a
+  * value. Values must be non-negative (docIDs, gaps, tfs, positions all
+  * are).
+  */
+object VarByte {
+  def write(out: ArrayBuffer[Byte], v0: Long): Unit = {
+    require(v0 >= 0, s"varbyte value must be >= 0, got $v0")
+    var v = v0
+    while ((v & ~0x7fL) != 0L) {
+      out += ((v & 0x7fL) | 0x80L).toByte
+      v >>>= 7
+    }
+    out += v.toByte
+  }
+
+  /** Mutable cursor for sequential decode. */
+  final class Reader(val bytes: Array[Byte]) {
+    var pos: Int = 0
+    def hasNext: Boolean = pos < bytes.length
+    def read(): Long = {
+      var shift = 0
+      var v = 0L
+      var b = bytes(pos); pos += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        b = bytes(pos); pos += 1
+      }
+      v | ((b & 0x7fL) << shift)
+    }
+  }
+
+  def encode(values: Array[Long]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](values.length * 2)
+    var i = 0
+    while (i < values.length) { write(out, values(i)); i += 1 }
+    out.toArray
+  }
+
+  def decodeAll(bytes: Array[Byte]): Array[Long] = {
+    val out = new ArrayBuffer[Long](bytes.length)
+    val r = new Reader(bytes)
+    while (r.hasNext) out += r.read()
+    out.toArray
+  }
+}
+
+/** One compressed posting block: up to [[PostingCodec.BlockSize]] postings.
+  *
+  * Layout (generalizes the reference's raw `Vec<u64>` posting lists,
+  * /root/reference/src/storage/block.rs:92, into the delta + varbyte +
+  * block-max form required for web scale):
+  *  - `docBytes`: first docID as absolute varbyte, then gaps (delta - 1 is
+  *    NOT used; gaps are `docId[i] - docId[i-1]`, always >= 1, stored as-is
+  *    so blocks decode independently).
+  *  - `tfBytes`: term frequency per posting, varbyte.
+  *  - `posBytes`: optional per-posting position list: varbyte count, then
+  *    delta-encoded positions (first absolute, then gaps). Empty array when
+  *    the index is built without positions.
+  *  - `maxDocId` / `maxTf`: block-max metadata for skipping / WAND upper
+  *    bounds.
+  */
+final case class PBlock(
+    maxDocId: Long,
+    maxTf: Int,
+    n: Int,
+    docBytes: Array[Byte],
+    tfBytes: Array[Byte],
+    posBytes: Array[Byte])
+
+/** A decoded posting block. `positions` is empty when not indexed. */
+final case class DecodedBlock(
+    docIds: Array[Long],
+    tfs: Array[Int],
+    positions: Array[Array[Int]])
+
+object PostingCodec {
+  val BlockSize = 128
+
+  /** Encode one posting run (a single term within a single segment) into
+    * fixed-size blocks. `docIds` must be strictly ascending; `tfs` parallel;
+    * `positions(i)` (may be null/empty when positions are disabled) must be
+    * strictly ascending token offsets.
+    */
+  def encode(
+      docIds: Array[Long],
+      tfs: Array[Int],
+      positions: Array[Array[Int]],
+      blockSize: Int = BlockSize): Array[PBlock] = {
+    val nBlocks = (docIds.length + blockSize - 1) / blockSize
+    val out = new Array[PBlock](nBlocks)
+    var b = 0
+    while (b < nBlocks) {
+      val start = b * blockSize
+      val end = math.min(start + blockSize, docIds.length)
+      val docBuf = new ArrayBuffer[Byte]((end - start) * 2)
+      val tfBuf = new ArrayBuffer[Byte](end - start)
+      val posBuf = new ArrayBuffer[Byte]()
+      var maxTf = 0
+      var i = start
+      var prev = 0L
+      while (i < end) {
+        if (i == start) VarByte.write(docBuf, docIds(i))
+        else {
+          val gap = docIds(i) - prev
+          require(gap > 0, s"docIds must be strictly ascending: ${docIds(i)} after $prev")
+          VarByte.write(docBuf, gap)
+        }
+        prev = docIds(i)
+        VarByte.write(tfBuf, tfs(i).toLong)
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (positions != null && positions(i) != null && positions(i).nonEmpty) {
+          val ps = positions(i)
+          VarByte.write(posBuf, ps.length.toLong)
+          var j = 0
+          var pprev = 0
+          while (j < ps.length) {
+            if (j == 0) VarByte.write(posBuf, ps(j).toLong)
+            else VarByte.write(posBuf, (ps(j) - pprev).toLong)
+            pprev = ps(j)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      out(b) = PBlock(docIds(end - 1), maxTf, end - start,
+        docBuf.toArray, tfBuf.toArray, posBuf.toArray)
+      b += 1
+    }
+    out
+  }
+
+  /** Decode docIDs + tfs of one block (skips positions — the scoring path). */
+  def decodeDocsTfs(blk: PBlock): (Array[Long], Array[Int]) = {
+    val docs = new Array[Long](blk.n)
+    val tfs = new Array[Int](blk.n)
+    val dr = new VarByte.Reader(blk.docBytes)
+    val tr = new VarByte.Reader(blk.tfBytes)
+    var i = 0
+    var prev = 0L
+    while (i < blk.n) {
+      prev = if (i == 0) dr.read() else prev + dr.read()
+      docs(i) = prev
+      tfs(i) = tr.read().toInt
+      i += 1
+    }
+    (docs, tfs)
+  }
+
+  /** Full decode including positions (empty arrays if not indexed). */
+  def decodeBlock(blk: PBlock): DecodedBlock = {
+    val (docs, tfs) = decodeDocsTfs(blk)
+    val positions = new Array[Array[Int]](blk.n)
+    if (blk.posBytes.nonEmpty) {
+      val pr = new VarByte.Reader(blk.posBytes)
+      var i = 0
+      while (i < blk.n) {
+        val cnt = pr.read().toInt
+        val ps = new Array[Int](cnt)
+        var j = 0
+        var prev = 0
+        while (j < cnt) {
+          prev = if (j == 0) pr.read().toInt else prev + pr.read().toInt
+          ps(j) = prev
+          j += 1
+        }
+        positions(i) = ps
+        i += 1
+      }
+    } else {
+      java.util.Arrays.fill(positions.asInstanceOf[Array[AnyRef]], Array.empty[Int])
+    }
+    DecodedBlock(docs, tfs, positions)
+  }
+
+  /** Decode a whole run of blocks into flat arrays (docIds ascending). */
+  def decodeRun(blocks: Seq[PBlock]): DecodedBlock = {
+    val total = blocks.iterator.map(_.n).sum
+    val docs = new Array[Long](total)
+    val tfs = new Array[Int](total)
+    val pos = new Array[Array[Int]](total)
+    var off = 0
+    blocks.foreach { b =>
+      val d = decodeBlock(b)
+      System.arraycopy(d.docIds, 0, docs, off, b.n)
+      System.arraycopy(d.tfs, 0, tfs, off, b.n)
+      System.arraycopy(d.positions, 0, pos, off, b.n)
+      off += b.n
+    }
+    DecodedBlock(docs, tfs, pos)
+  }
+}

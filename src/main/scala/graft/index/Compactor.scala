@@ -1,0 +1,150 @@
+package graft.index
+
+import graft.codec.VarByte
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** LSM wave merge / tiered compaction.
+  *
+  * Re-expresses the reference's `BlockData::merge` + `Storage::compact`
+  * (/root/reference/src/storage/block.rs:152-217, storage.rs:290-334) in
+  * Spark terms:
+  *
+  *  - merge of two (or more) waves = `groupByKey(term, segId)` over their
+  *    segment rows, concatenating posting-block arrays in wave order. Blocks
+  *    are independently decodable (absolute first docID), wave docID ranges
+  *    are disjoint and ascending, so concatenation preserves global posting
+  *    order with **no re-sort** — exactly the reference's rebased concat
+  *    (block.rs:196-204). The (term, segId) shuffle key keeps head terms
+  *    spread across tasks (skew-aware, north_rule).
+  *  - the size-ratio-4 policy is kept verbatim: merge the two newest waves
+  *    while `prev.size < 4 * last.size` (storage.rs:298-303), size measured
+  *    in postings (`totalTokens` ≙ the reference's Σ tags.len(),
+  *    block.rs:373).
+  *  - commit order: new wave data -> manifest (drop merged waves, add merged
+  *    wave) -> delete old wave dirs. A crash leaves either the old manifest
+  *    (old waves intact) or the new one (new wave complete) — never loss.
+  */
+object Compactor {
+
+  /** Apply the reference's tiered policy until stable; returns final manifest. */
+  def compact(spark: SparkSession, dir: String, ratio: Long = 4L): IndexManifest = {
+    var m = ManifestIO.read(dir)
+    var changed = true
+    while (changed && m.waves.length >= 2) {
+      val ws = m.waves.sortBy(_.wave)
+      val last = ws.last
+      val prev = ws(ws.length - 2)
+      if (prev.totalTokens < ratio * last.totalTokens) {
+        m = mergeWaves(spark, dir, Seq(prev.wave, last.wave))
+      } else changed = false
+    }
+    m
+  }
+
+  /** Merge all committed waves into one (full compaction). */
+  def fullCompact(spark: SparkSession, dir: String): IndexManifest = {
+    val m = ManifestIO.read(dir)
+    if (m.waves.length <= 1) m
+    else mergeWaves(spark, dir, m.waves.map(_.wave))
+  }
+
+  /** Merge the given waves into a new wave id = max(all waves) + 1. */
+  def mergeWaves(spark: SparkSession, dir: String, waves: Seq[Int]): IndexManifest = {
+    import spark.implicits._
+    require(waves.size >= 2, "need at least two waves to merge")
+    val t0 = System.nanoTime()
+    val m0 = ManifestIO.read(dir)
+    val byId = m0.waves.map(w => w.wave -> w).toMap
+    require(waves.forall(byId.contains), s"unknown waves: $waves")
+    val newWave = m0.waves.map(_.wave).max + 1
+
+    // --- segments: concat blocks per (term, segId) in wave order ----------
+    val segs = IndexBuilder.readSegments(spark, dir, waves)
+      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+      .as[SegmentPosting]
+    val merged = segs.groupByKey(sp => (sp.term, sp.segId))
+      .mapGroups { (key: (String, Long), it: Iterator[SegmentPosting]) =>
+        val (term, segId) = key
+        val rs = it.toArray.sortBy(_.wave)
+        SegmentPosting(term, newWave, segId,
+          rs.map(_.df).sum, rs.map(_.tf).sum, rs.map(_.maxTf).max,
+          rs.flatMap(_.blocks))
+      }
+    merged.toDF().write.mode("overwrite").partitionBy("wave")
+      .parquet(IndexBuilder.segmentsPath(dir) + s"/.tmpwave$newWave")
+    move(spark, IndexBuilder.segmentsPath(dir) + s"/.tmpwave$newWave/wave=$newWave",
+      IndexBuilder.segmentsPath(dir) + s"/wave=$newWave")
+    del(spark, IndexBuilder.segmentsPath(dir) + s"/.tmpwave$newWave")
+
+    // --- norms: decode + re-encode per segId (delta chains can't concat) --
+    val norms = IndexBuilder.readNorms(spark, dir, waves)
+      .select("wave", "segId", "n", "docBytes", "dlBytes").as[SegmentNorms]
+    val mergedNorms = norms.groupByKey(_.segId).mapGroups { (segId: Long, it: Iterator[SegmentNorms]) =>
+      val (docs, dls) = Searcher.decodeNorms(it.toArray)
+      val docBuf = new ArrayBuffer[Byte]()
+      val dlBuf = new ArrayBuffer[Byte]()
+      var i = 0
+      var prevDoc = 0L
+      while (i < docs.length) {
+        if (i == 0) VarByte.write(docBuf, docs(i))
+        else VarByte.write(docBuf, docs(i) - prevDoc)
+        prevDoc = docs(i)
+        VarByte.write(dlBuf, dls(i).toLong)
+        i += 1
+      }
+      SegmentNorms(newWave, segId, docs.length, docBuf.toArray, dlBuf.toArray)
+    }
+    mergedNorms.toDF().write.mode("overwrite").partitionBy("wave")
+      .parquet(IndexBuilder.normsPath(dir) + s"/.tmpwave$newWave")
+    move(spark, IndexBuilder.normsPath(dir) + s"/.tmpwave$newWave/wave=$newWave",
+      IndexBuilder.normsPath(dir) + s"/wave=$newWave")
+    del(spark, IndexBuilder.normsPath(dir) + s"/.tmpwave$newWave")
+
+    // --- docmeta: plain rewrite under the new wave -------------------------
+    spark.read.parquet(IndexBuilder.docmetaPath(dir))
+      .where(col("wave").isin(waves: _*)).drop("wave")
+      .repartitionByRange(col("docId")).sortWithinPartitions("docId")
+      .write.mode("overwrite").parquet(IndexBuilder.docmetaPath(dir) + s"/wave=$newWave")
+
+    // --- commit ------------------------------------------------------------
+    val olds = waves.map(byId)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val wi = WaveInfo(newWave,
+      numDocs = olds.map(_.numDocs).sum,
+      totalTokens = olds.map(_.totalTokens).sum,
+      minDocId = olds.map(_.minDocId).min,
+      maxDocId = olds.map(_.maxDocId).max,
+      minTs = { val ts = olds.map(_.minTs).filter(_ != 0); if (ts.isEmpty) 0L else ts.min },
+      maxTs = olds.map(_.maxTs).max,
+      buildSec = sec,
+      docsPerSec = olds.map(_.numDocs).sum / sec,
+      postingsPerSec = 0.0)
+    val m1 = m0.copy(waves = m0.waves.filterNot(w => waves.contains(w.wave)) :+ wi)
+    IndexBuilder.rebuildTermStats(spark, dir, m1)
+    ManifestIO.write(dir, m1)
+    // old wave data no longer referenced; reclaim
+    waves.foreach { w =>
+      del(spark, IndexBuilder.segmentsPath(dir) + s"/wave=$w")
+      del(spark, IndexBuilder.normsPath(dir) + s"/wave=$w")
+      del(spark, IndexBuilder.docmetaPath(dir) + s"/wave=$w")
+    }
+    m1
+  }
+
+  private def move(spark: SparkSession, from: String, to: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(from)
+    val t = new org.apache.hadoop.fs.Path(to)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(t.getParent)
+    if (fs.exists(t)) fs.delete(t, true)
+    fs.rename(f, t)
+  }
+
+  private def del(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

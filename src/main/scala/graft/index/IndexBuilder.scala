@@ -1,0 +1,299 @@
+package graft.index
+
+import graft.codec.{PostingCodec, VarByte}
+import graft.text.Tokenize
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable.ArrayBuffer
+
+/** Distributed inverted-index builder.
+  *
+  * Spark-first re-expression of the reference's ingest path
+  * (push -> memtable -> freeze -> merge, /root/reference/src/storage/
+  * storage.rs:198-334): one *wave* = one atomically committed batch of
+  * segments. Within a wave:
+  *
+  *  - tokenize + posexplode (≙ ActiveBlock::push row->index conversion,
+  *    block.rs:372-387), tf/positions via `groupBy(term, docId)`;
+  *  - segment assignment `segId = docId div docsPerSegment` — the natural
+  *    salt that spreads head-term (stopword) postings across partitions, so
+  *    no single task ever encodes a whole head-term posting list (north_rule
+  *    skew requirement);
+  *  - `repartition(term, segId) + sortWithinPartitions(term, segId, docId)`
+  *    + streaming run-group encode in `mapPartitions` (≙ freeze,
+  *    block.rs:389-405, but never materializing a posting list per term in
+  *    one task);
+  *  - doc lengths computed as `size(tokens)` straight off the scan — no
+  *    second shuffle;
+  *  - manifest committed last (fixes the reference's write-loss TODO,
+  *    storage.rs:345-348).
+  *
+  * Input contract: columns `docId` (LONG, unique, >= 0), `key` (STRING),
+  * `text` (STRING), optional `ts` (TIMESTAMP). Appended waves must have
+  * docIds strictly above all committed ones (≙ rebase-by-left-count,
+  * block.rs:196) and non-overlapping time ranges (≙ the merge overlap panic,
+  * block.rs:165-168).
+  */
+object IndexBuilder {
+  val Version = 1
+
+  private case class TfRow(term: String, docId: Long, tf: Int, positions: Seq[Int], segId: Long)
+  private case class DlRow(docId: Long, dl: Int, segId: Long)
+
+  def segmentsPath(dir: String) = s"$dir/segments"
+  def normsPath(dir: String) = s"$dir/norms"
+  def docmetaPath(dir: String) = s"$dir/docmeta"
+  def termstatsPath(dir: String) = s"$dir/termstats"
+
+  private def hadoopDelete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Fresh build: wipes `dir`, builds wave 0, commits manifest. */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+      opts: IndexOptions = IndexOptions()): IndexManifest = {
+    hadoopDelete(spark, dir)
+    val m0 = IndexManifest(Version, Tokenize.Version, opts.docsPerSegment,
+      opts.blockSize, opts.withPositions, Nil)
+    val w = buildWave(spark, docs, dir, 0, opts, enforceBase = None, enforceMinTs = None)
+    val m = m0.copy(waves = List(w))
+    rebuildTermStats(spark, dir, m)
+    ManifestIO.write(dir, m)
+    m
+  }
+
+  /** LSM append: builds the next wave over already-committed ones. */
+  def append(spark: SparkSession, docs: DataFrame, dir: String): IndexManifest = {
+    val m0 = ManifestIO.read(dir)
+    val opts = IndexOptions(m0.docsPerSegment, m0.blockSize, m0.withPositions)
+    val wave = if (m0.waves.isEmpty) 0 else m0.waves.map(_.wave).max + 1
+    // Clean any stale (uncommitted) data for this wave id before writing:
+    // data-then-manifest ordering makes this safe on resume.
+    Seq(segmentsPath(dir), normsPath(dir), docmetaPath(dir)).foreach { p =>
+      hadoopDelete(spark, s"$p/wave=$wave")
+    }
+    val prevMaxTs = m0.waves.map(_.maxTs).filter(_ != 0L).maxOption
+    val w = buildWave(spark, docs, dir, wave, opts,
+      enforceBase = Some(m0.nextDocBase), enforceMinTs = prevMaxTs)
+    val m = m0.copy(waves = m0.waves :+ w)
+    rebuildTermStats(spark, dir, m)
+    ManifestIO.write(dir, m)
+    m
+  }
+
+  /** Build one wave's segments + norms + docmeta. Data only; no commit. */
+  private[index] def buildWave(spark: SparkSession, docs: DataFrame, dir: String,
+      wave: Int, opts: IndexOptions, enforceBase: Option[Long],
+      enforceMinTs: Option[Long]): WaveInfo = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val dps = opts.docsPerSegment
+    val blockSize = opts.blockSize
+    val withPositions = opts.withPositions
+
+    val hasTs = docs.columns.contains("ts")
+    val tsMillis = if (hasTs) unix_millis(col("ts")) else lit(0L)
+    val base = docs.select(col("docId").cast(LongType).as("docId"),
+      col("key").cast(StringType).as("key"), col("text"),
+      coalesce(tsMillis, lit(0L)).as("ts"))
+
+    // ---- forward map + norms: dl without any explode/shuffle -------------
+    val docdl = base.select($"docId", $"key",
+      size(Tokenize.col($"text")).cast(IntegerType).as("dl"), $"ts",
+      ($"docId" / lit(dps)).cast(LongType).as("segId"))
+
+    docdl.select($"docId", $"key", $"dl", $"ts")
+      .repartitionByRange(col("docId")).sortWithinPartitions("docId")
+      .write.mode("overwrite").parquet(s"${docmetaPath(dir)}/wave=$wave")
+
+    val normsDs: Dataset[SegmentNorms] = docdl
+      .select($"docId", $"dl", $"segId").as[DlRow]
+      .repartition(col("segId")).sortWithinPartitions("docId")
+      .mapPartitions(encodeNormRuns(_, wave))
+    normsDs.write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave")
+
+    // ---- postings --------------------------------------------------------
+    val toks = base.select($"docId",
+      posexplode(Tokenize.col($"text")).as(Seq("pos", "term")))
+    val posAgg =
+      if (withPositions) sort_array(collect_list($"pos"))
+      else array().cast(ArrayType(IntegerType))
+    val tfpos = toks.groupBy($"term", $"docId")
+      .agg(count(lit(1)).cast(IntegerType).as("tf"), posAgg.as("positions"))
+      .withColumn("segId", ($"docId" / lit(dps)).cast(LongType))
+
+    val segDs: Dataset[SegmentPosting] = tfpos
+      .repartition(col("term"), col("segId"))
+      .sortWithinPartitions("term", "segId", "docId")
+      .as[TfRow]
+      .mapPartitions(encodePostingRuns(_, wave, blockSize, withPositions))
+    segDs.toDF()
+      .write.mode("overwrite").partitionBy("wave")
+      .parquet(segmentsPath(dir) + s"/.tmpwave$wave")
+    // partitionBy writes under .tmpwaveN/wave=N; move into place so all waves
+    // share one partitioned root without dynamic-overwrite semantics.
+    movePartition(spark, segmentsPath(dir) + s"/.tmpwave$wave/wave=$wave",
+      segmentsPath(dir) + s"/wave=$wave")
+    hadoopDelete(spark, segmentsPath(dir) + s"/.tmpwave$wave")
+
+    // ---- wave stats (from written data; column-pruned reads) -------------
+    val metaAgg = spark.read.parquet(s"${docmetaPath(dir)}/wave=$wave")
+      .agg(count(lit(1)), sum($"dl"), min($"docId"), max($"docId"),
+        min(when($"ts" =!= 0L, $"ts")), max($"ts"))
+      .head()
+    val numDocs = metaAgg.getLong(0)
+    val totalTokens = if (metaAgg.isNullAt(1)) 0L else metaAgg.getLong(1)
+    val minDocId = if (numDocs == 0) 0L else metaAgg.getLong(2)
+    val maxDocId = if (numDocs == 0) -1L else metaAgg.getLong(3)
+    val minTs = if (metaAgg.isNullAt(4)) 0L else metaAgg.getLong(4)
+    val maxTs = if (numDocs == 0) 0L else metaAgg.getLong(5)
+
+    enforceBase.foreach { b =>
+      require(numDocs == 0 || minDocId >= b,
+        s"appended wave docIds must start at or above $b (got $minDocId): " +
+          "docID rebase discipline (reference block.rs:196)")
+    }
+    enforceMinTs.foreach { t =>
+      require(minTs == 0L || minTs >= t,
+        s"appended wave time range [$minTs,...] overlaps committed [...,$t] " +
+          "(reference merge panics on overlap, block.rs:165-168)")
+    }
+
+    val postings = spark.read.parquet(s"${segmentsPath(dir)}/wave=$wave")
+      .agg(sum($"df")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    WaveInfo(wave, numDocs, totalTokens, minDocId, maxDocId, minTs, maxTs,
+      sec, numDocs / sec, postings / sec)
+  }
+
+  private def movePartition(spark: SparkSession, from: String, to: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(from)
+    val t = new org.apache.hadoop.fs.Path(to)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(t.getParent)
+    if (fs.exists(t)) fs.delete(t, true)
+    fs.rename(f, t)
+  }
+
+  /** Streaming run-group encoder: consumes rows sorted by (term, segId,
+    * docId), emits one SegmentPosting per (term, segId) run. Never holds
+    * more than one run (<= docsPerSegment postings) in memory.
+    */
+  private def encodePostingRuns(it: Iterator[TfRow], wave: Int, blockSize: Int,
+      withPositions: Boolean): Iterator[SegmentPosting] = new Iterator[SegmentPosting] {
+    private val buf = it.buffered
+    def hasNext: Boolean = buf.hasNext
+    def next(): SegmentPosting = {
+      val head = buf.head
+      val term = head.term
+      val segId = head.segId
+      val docs = new ArrayBuffer[Long]()
+      val tfs = new ArrayBuffer[Int]()
+      val poss = if (withPositions) new ArrayBuffer[Array[Int]]() else null
+      var tfSum = 0L
+      var maxTf = 0
+      while (buf.hasNext && buf.head.term == term && buf.head.segId == segId) {
+        val r = buf.next()
+        docs += r.docId
+        tfs += r.tf
+        if (withPositions) poss += r.positions.toArray
+        tfSum += r.tf
+        if (r.tf > maxTf) maxTf = r.tf
+      }
+      val blocks = PostingCodec.encode(docs.toArray, tfs.toArray,
+        if (withPositions) poss.toArray else null, blockSize)
+      SegmentPosting(term, wave, segId, docs.length.toLong, tfSum, maxTf, blocks)
+    }
+  }
+
+  private def encodeNormRuns(it: Iterator[DlRow], wave: Int): Iterator[SegmentNorms] =
+    new Iterator[SegmentNorms] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): SegmentNorms = {
+        val segId = buf.head.segId
+        val docBuf = new ArrayBuffer[Byte]()
+        val dlBuf = new ArrayBuffer[Byte]()
+        var n = 0
+        var prev = 0L
+        while (buf.hasNext && buf.head.segId == segId) {
+          val r = buf.next()
+          if (n == 0) VarByte.write(docBuf, r.docId)
+          else VarByte.write(docBuf, r.docId - prev)
+          prev = r.docId
+          VarByte.write(dlBuf, r.dl.toLong)
+          n += 1
+        }
+        SegmentNorms(wave, segId, n, docBuf.toArray, dlBuf.toArray)
+      }
+    }
+
+  /** Rebuild global term statistics from all committed segments. Reads only
+    * the (term, df, tf, maxTf) columns — Parquet column pruning keeps the
+    * posting blobs on disk. Range-partitioned + sorted by term so query-time
+    * lookups hit row-group min/max skipping.
+    */
+  private[index] def rebuildTermStats(spark: SparkSession, dir: String,
+      m: IndexManifest): Unit = {
+    import spark.implicits._
+    val segs = readSegments(spark, dir, m.waveIds)
+    val stats = segs.select($"term", $"df", $"tf", $"maxTf")
+      .groupBy($"term")
+      .agg(sum($"df").as("df"), sum($"tf").as("tf"), max($"maxTf").as("maxTf"))
+    val out = stats.repartitionByRange(col("term")).sortWithinPartitions("term")
+    out.write.mode("overwrite").parquet(termstatsPath(dir) + ".tmp")
+    movePartition(spark, termstatsPath(dir) + ".tmp", termstatsPath(dir))
+  }
+
+  /** Committed-waves segment scan (wave is a partition column -> pruning). */
+  def readSegments(spark: SparkSession, dir: String, waves: Seq[Int]): DataFrame = {
+    val df = spark.read.parquet(segmentsPath(dir))
+    df.where(col("wave").isin(waves: _*))
+  }
+
+  def readNorms(spark: SparkSession, dir: String, waves: Seq[Int]): DataFrame = {
+    val df = spark.read.parquet(normsPath(dir))
+    df.where(col("wave").isin(waves: _*))
+  }
+
+  def readDocMeta(spark: SparkSession, dir: String, waves: Seq[Int]): DataFrame = {
+    val df = spark.read.parquet(docmetaPath(dir))
+    df.where(col("wave").isin(waves: _*)).drop("wave")
+  }
+
+  // -------------------------------------------------------------------------
+  // Deterministic docID assignment without zipWithIndex (north_star):
+  // hash-repartition on the order key (deterministic), sort within partition,
+  // per-partition counts -> exclusive offsets broadcast, then
+  // rowInPartition + offset(partition).
+  // -------------------------------------------------------------------------
+  def assignDocIds(spark: SparkSession, df: DataFrame, orderCol: String,
+      base: Long = 0L, numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartition(n, col(orderCol)).sortWithinPartitions(orderCol)
+    val counts = parted.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new Array[Long](n)
+    var acc = base
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val outSchema = StructType(StructField("docId", LongType, nullable = false) +: parted.schema.fields)
+    val enc = Encoders.row(outSchema)
+    parted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var i = offsets(pid)
+      it.map { r =>
+        val out = Row.fromSeq(i +: r.toSeq)
+        i += 1
+        out
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Manifest read/write. The manifest is the index's commit point: a wave's
+  * data files are visible iff its entry is in the manifest, and the manifest
+  * is replaced atomically (write temp + move). This is our Iceberg-snapshot
+  * stand-in (SURVEY.md §7.0): same DataFrame shapes, one `format("iceberg")`
+  * switch away in production, and it fixes the reference's acknowledged
+  * crash-loss bug (/root/reference/src/storage/storage.rs:345-348) by
+  * committing metadata strictly after data.
+  */
+object ManifestIO {
+  val FileName = "manifest.json"
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def toJson(m: IndexManifest): String = {
+    val waves = m.waves.map { w =>
+      s"""{"wave":${w.wave},"numDocs":${w.numDocs},"totalTokens":${w.totalTokens},""" +
+        s""""minDocId":${w.minDocId},"maxDocId":${w.maxDocId},"minTs":${w.minTs},"maxTs":${w.maxTs},""" +
+        s""""buildSec":${w.buildSec},"docsPerSec":${w.docsPerSec},"postingsPerSec":${w.postingsPerSec}}"""
+    }.mkString("[", ",", "]")
+    s"""{"version":${m.version},"tokenizer":"${esc(m.tokenizer)}","docsPerSegment":${m.docsPerSegment},""" +
+      s""""blockSize":${m.blockSize},"withPositions":${m.withPositions},""" +
+      s""""totalDocs":${m.totalDocs},"totalTokens":${m.totalTokens},"waves":$waves}"""
+  }
+
+  def write(dir: String, m: IndexManifest): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, FileName + ".tmp")
+    Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, FileName),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, FileName))
+
+  def read(dir: String): IndexManifest = {
+    val bytes = Files.readAllBytes(Paths.get(dir, FileName))
+    val root = new ObjectMapper().readTree(bytes)
+    val waves = root.get("waves").elements()
+    val buf = scala.collection.mutable.ListBuffer.empty[WaveInfo]
+    while (waves.hasNext) {
+      val w = waves.next()
+      buf += WaveInfo(
+        wave = w.get("wave").asInt(),
+        numDocs = w.get("numDocs").asLong(),
+        totalTokens = w.get("totalTokens").asLong(),
+        minDocId = w.get("minDocId").asLong(),
+        maxDocId = w.get("maxDocId").asLong(),
+        minTs = w.get("minTs").asLong(),
+        maxTs = w.get("maxTs").asLong(),
+        buildSec = w.get("buildSec").asDouble(),
+        docsPerSec = w.get("docsPerSec").asDouble(),
+        postingsPerSec = w.get("postingsPerSec").asDouble())
+    }
+    IndexManifest(
+      version = root.get("version").asInt(),
+      tokenizer = root.get("tokenizer").asText(),
+      docsPerSegment = root.get("docsPerSegment").asLong(),
+      blockSize = root.get("blockSize").asInt(),
+      withPositions = root.get("withPositions").asBoolean(),
+      waves = buf.toList)
+  }
+}

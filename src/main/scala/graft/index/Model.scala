@@ -1,0 +1,83 @@
+package graft.index
+
+import graft.codec.PBlock
+
+/** One posting run: all postings of `term` inside segment `segId`, built in
+  * LSM wave `wave`. Spark-side analogue of one (tag -> posting list) entry of
+  * the reference's columnar BlockData (/root/reference/src/storage/
+  * block.rs:87-93), generalized with per-run stats + compressed blocks.
+  *
+  * docID spaces of distinct (wave, segId) pairs are disjoint; postings within
+  * a run are strictly ascending; runs of the same (term, segId) across waves
+  * concatenate in wave order without re-sorting — the reference's rebased
+  * merge invariant (/root/reference/src/storage/block.rs:196-204).
+  */
+final case class SegmentPosting(
+    term: String,
+    wave: Int,
+    segId: Long,
+    df: Long,
+    tf: Long,
+    maxTf: Int,
+    blocks: Array[PBlock])
+
+/** Per-segment document-length (norms) sidecar: varbyte docIds (delta) and
+  * dls, in docId order. ≙ the reference's per-block keys/timestamps forward
+  * columns (/root/reference/src/storage/block.rs:90-91), carrying BM25 length
+  * normalization instead.
+  */
+final case class SegmentNorms(
+    wave: Int,
+    segId: Long,
+    n: Int,
+    docBytes: Array[Byte],
+    dlBytes: Array[Byte])
+
+/** Forward map docId -> external key (+ doc stats). ≙ `keys`/`timestamps`
+  * columns of the reference block (/root/reference/src/storage/block.rs:90-91).
+  * `ts` is epoch millis (0 when the corpus carries no timestamp).
+  */
+final case class DocMeta(docId: Long, key: String, dl: Int, ts: Long)
+
+/** Global per-term statistics (rebuilt on every wave commit). */
+final case class TermStats(term: String, df: Long, tf: Long, maxTf: Int)
+
+/** Build-time knobs. `docsPerSegment` bounds the docId range of one segment
+  * (the merge/intersection unit); `withPositions` enables phrase queries at
+  * the cost of position bytes.
+  */
+final case class IndexOptions(
+    docsPerSegment: Long = 1L << 20,
+    blockSize: Int = 128,
+    withPositions: Boolean = true)
+
+/** One committed LSM wave (≙ one flushed+compacted block file of the
+  * reference, /root/reference/src/storage/storage.rs:336-358, but committed
+  * atomically via manifest-last ordering — the reference's acknowledged
+  * write-loss TODO at storage.rs:345-348 is deliberately NOT reproduced).
+  */
+final case class WaveInfo(
+    wave: Int,
+    numDocs: Long,
+    totalTokens: Long,
+    minDocId: Long,
+    maxDocId: Long,
+    minTs: Long,
+    maxTs: Long,
+    buildSec: Double,
+    docsPerSec: Double,
+    postingsPerSec: Double)
+
+final case class IndexManifest(
+    version: Int,
+    tokenizer: String,
+    docsPerSegment: Long,
+    blockSize: Int,
+    withPositions: Boolean,
+    waves: List[WaveInfo]) {
+  def totalDocs: Long = waves.map(_.numDocs).sum
+  def totalTokens: Long = waves.map(_.totalTokens).sum
+  def avgdl: Double = if (totalDocs == 0) 0.0 else totalTokens.toDouble / totalDocs
+  def waveIds: Seq[Int] = waves.map(_.wave)
+  def nextDocBase: Long = if (waves.isEmpty) 0L else waves.map(_.maxDocId).max + 1
+}

@@ -1,0 +1,428 @@
+package graft.index
+
+import graft.codec.{PBlock, PostingCodec, VarByte}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BM25 parameters (Lucene-style positive idf so scores never go negative
+  * on head terms).
+  */
+final case class Bm25Params(k1: Double = 1.2, b: Double = 0.75)
+
+/** Query executor over a committed index directory.
+  *
+  * Read path ≙ the reference's snapshot scan + lazy posting load
+  * (/root/reference/src/storage/storage.rs:54-140, block.rs:283-292), mapped
+  * to Spark: the manifest pins the committed waves (snapshot isolation), the
+  * `term IN (...)` predicate is pushed into the Parquet scan of term-sorted
+  * segment files (row-group min/max skipping ≙ per-tag point seek), and
+  * postings decode happens in executors, grouped per segment so every
+  * (wave, segId) docID space is intersected/scored locally and only
+  * per-segment results cross the wire.
+  */
+class Searcher(val spark: SparkSession, val dir: String) extends Serializable {
+  import spark.implicits._
+
+  val manifest: IndexManifest = ManifestIO.read(dir)
+  private val waves = manifest.waveIds
+
+  def segments: DataFrame = IndexBuilder.readSegments(spark, dir, waves)
+  def norms: Dataset[SegmentNorms] = {
+    val df = IndexBuilder.readNorms(spark, dir, waves)
+    df.select("wave", "segId", "n", "docBytes", "dlBytes").as[SegmentNorms]
+  }
+  def docMeta: DataFrame = IndexBuilder.readDocMeta(spark, dir, waves)
+
+  /** Pushed-down posting fetch for a set of terms (≙ batched read_indexes,
+    * storage.rs:110-140 — one scan services all query terms).
+    */
+  def postings(terms: Seq[String]): Dataset[SegmentPosting] =
+    segments.where(col("term").isin(terms: _*))
+      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+      .as[SegmentPosting]
+
+  /** Global stats for query terms — a driver-side lookup of index *metadata*
+    * (few rows, pushdown on the sorted termstats table).
+    */
+  def termStats(terms: Seq[String]): Map[String, TermStats] = {
+    val df = spark.read.parquet(IndexBuilder.termstatsPath(dir))
+      .where(col("term").isin(terms: _*))
+    df.as[TermStats].collect().map(t => t.term -> t).toMap
+  }
+
+  private def emptyDocIds: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("docId", LongType, nullable = false))))
+
+  /** Single-term lookup: decode + emit docIds. No shuffle at all. */
+  def lookup(term: String): DataFrame =
+    postings(Seq(term)).flatMap { sp =>
+      sp.blocks.iterator.flatMap(b => PostingCodec.decodeDocsTfs(b)._1)
+    }.toDF("docId")
+
+  /** Conjunctive (AND) query — tagged's core tag-intersection semantics.
+    * Per-segment galloping k-way intersection; segments are independent docID
+    * ranges so results union without dedup.
+    */
+  def and(terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    val nTerms = distinctTerms.size
+    if (nTerms == 0) return emptyDocIds
+    val stats = termStats(distinctTerms)
+    if (distinctTerms.exists(t => !stats.contains(t))) return emptyDocIds
+    postings(distinctTerms)
+      .groupByKey(sp => (sp.wave, sp.segId))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[SegmentPosting]) =>
+        val byTerm = it.toSeq.groupBy(_.term)
+        if (byTerm.size < nTerms) Iterator.empty
+        else {
+          val lists = byTerm.valuesIterator
+            .map(rs => Searcher.mergeRunDocs(rs)).toArray
+          Searcher.intersect(lists).iterator
+        }
+      }.toDF("docId")
+  }
+
+  /** Disjunctive (OR) query: docId + number of distinct matched terms. */
+  def or(terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    if (distinctTerms.isEmpty) return emptyDocIds.withColumn("matched", lit(0))
+    postings(distinctTerms)
+      .groupByKey(sp => (sp.wave, sp.segId))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[SegmentPosting]) =>
+        val counts = new java.util.HashMap[Long, Int]()
+        it.foreach { sp =>
+          sp.blocks.foreach { b =>
+            PostingCodec.decodeDocsTfs(b)._1.foreach { d =>
+              counts.merge(d, 1, (a: Int, bb: Int) => a + bb)
+            }
+          }
+        }
+        val out = new Array[(Long, Int)](counts.size())
+        var i = 0
+        val e = counts.entrySet().iterator()
+        while (e.hasNext) { val kv = e.next(); out(i) = (kv.getKey, kv.getValue); i += 1 }
+        out.iterator
+      }.toDF("docId", "matched")
+  }
+
+  /** AND over `must` minus OR over `mustNot`. */
+  def andNot(must: Seq[String], mustNot: Seq[String]): DataFrame = {
+    val pos = and(must)
+    if (mustNot.isEmpty) pos
+    else pos.join(or(mustNot).select("docId"), Seq("docId"), "left_anti")
+  }
+
+  /** Exact phrase query via positional postings (index must be built with
+    * positions). Adjacency chained across terms inside each segment group.
+    */
+  def phrase(terms: Seq[String]): DataFrame = {
+    require(manifest.withPositions, "index built without positions")
+    if (terms.isEmpty) return emptyDocIds
+    if (terms.size == 1) return lookup(terms.head).distinct()
+    val n = terms.size
+    val distinctTerms = terms.distinct
+    val nDistinct = distinctTerms.size
+    postings(distinctTerms)
+      .groupByKey(sp => (sp.wave, sp.segId))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[SegmentPosting]) =>
+        val byTerm = it.toSeq.groupBy(_.term)
+        if (byTerm.size < nDistinct) Iterator.empty
+        else {
+          // positions per (slot in phrase): decode per term once
+          val decoded = byTerm.map { case (t, rs) => t -> Searcher.mergeRunFull(rs) }
+          val lists = decoded.valuesIterator.map(_._1).toArray
+          val cand = Searcher.intersect(lists)
+          cand.iterator.filter { d =>
+            // per-slot position arrays for this doc
+            val slotPos: Array[Array[Int]] = Array.tabulate(n) { s =>
+              val t = terms(s)
+              val (docs, _, poss) = decoded(t)
+              val idx = java.util.Arrays.binarySearch(docs, d)
+              poss(idx)
+            }
+            // phrase exists iff some p in slot0 with p+s in slot_s for all s
+            slotPos(0).exists { p =>
+              var s = 1
+              var ok = true
+              while (ok && s < n) {
+                if (java.util.Arrays.binarySearch(slotPos(s), p + s) < 0) ok = false
+                s += 1
+              }
+              ok
+            }
+          }
+        }
+      }.toDF("docId")
+  }
+
+  /** BM25 top-k with per-segment block-max WAND pruning and a global
+    * (score desc, docId asc) selection. Returns (docId, score) with exact
+    * double scores.
+    */
+  def bm25(terms: Seq[String], k: Int, params: Bm25Params = Bm25Params()): DataFrame = {
+    val qTerms = terms.distinct.toArray
+    val stats = termStats(qTerms.toSeq)
+    val present = qTerms.filter(stats.contains)
+    if (present.isEmpty)
+      return emptyDocIds.withColumn("score", lit(0.0)).limit(0)
+    val nDocs = manifest.totalDocs
+    val avgdl = manifest.avgdl
+    val idf: Map[String, Double] = present.map { t =>
+      val df = stats(t).df
+      t -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    }.toMap
+    val perSegK = k + 64 // slack so rounded-score global ties resolve like the oracle
+    val p = params
+    val presentSeq = present.toSeq
+    val scored = postings(presentSeq)
+      .groupByKey(sp => (sp.wave, sp.segId))
+      .cogroup(norms.groupByKey(nr => (nr.wave, nr.segId))) {
+        (_: (Int, Long), ps: Iterator[SegmentPosting], ns: Iterator[SegmentNorms]) =>
+          val normRows = ns.toArray
+          if (normRows.isEmpty) Iterator.empty
+          else Searcher.wandSegment(ps.toArray, normRows, idf, avgdl, p, perSegK)
+      }
+    scored.toDF("docId", "score")
+      .orderBy(col("score").desc, col("docId"))
+      .limit(k)
+  }
+}
+
+object Searcher {
+  /** Concatenate posting runs of one (term, segId) across waves (wave order
+    * = ascending docIds; reference rebase invariant) and decode docIds.
+    */
+  def mergeRunDocs(rs: Seq[SegmentPosting]): Array[Long] = {
+    val sorted = rs.sortBy(_.wave)
+    val total = sorted.iterator.map(_.df.toInt).sum
+    val out = new Array[Long](total)
+    var off = 0
+    sorted.foreach { sp =>
+      sp.blocks.foreach { b =>
+        val (docs, _) = PostingCodec.decodeDocsTfs(b)
+        System.arraycopy(docs, 0, out, off, docs.length)
+        off += docs.length
+      }
+    }
+    out
+  }
+
+  /** Full decode of a (term, segId) run: (docIds, tfs, positions). */
+  def mergeRunFull(rs: Seq[SegmentPosting]): (Array[Long], Array[Int], Array[Array[Int]]) = {
+    val sorted = rs.sortBy(_.wave)
+    val d = PostingCodec.decodeRun(sorted.flatMap(_.blocks))
+    (d.docIds, d.tfs, d.positions)
+  }
+
+  /** K-way sorted intersection with galloping advance on the smallest list. */
+  def intersect(lists: Array[Array[Long]]): Array[Long] = {
+    if (lists.isEmpty) return Array.empty
+    if (lists.exists(_.isEmpty)) return Array.empty
+    val sorted = lists.sortBy(_.length)
+    var result = sorted(0)
+    var i = 1
+    while (i < sorted.length && result.nonEmpty) {
+      result = intersect2(result, sorted(i))
+      i += 1
+    }
+    result
+  }
+
+  private def gallop(a: Array[Long], from: Int, target: Long): Int = {
+    // first index >= target, starting search at `from`
+    var lo = from
+    var step = 1
+    while (lo + step < a.length && a(lo + step) < target) { lo += step; step <<= 1 }
+    var hi = math.min(lo + step, a.length)
+    // binary search in (lo, hi]
+    var l = lo
+    var h = hi
+    while (l < h) {
+      val m = (l + h) >>> 1
+      if (a(m) < target) l = m + 1 else h = m
+    }
+    l
+  }
+
+  private def intersect2(small: Array[Long], large: Array[Long]): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    out.sizeHint(small.length)
+    var i = 0
+    var j = 0
+    while (i < small.length && j < large.length) {
+      val v = small(i)
+      j = gallop(large, j, v)
+      if (j < large.length && large(j) == v) { out += v; j += 1 }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Per-term cursor over the compressed blocks of one segment run, with
+    * block-level skipping on `maxDocId` (≙ BlockHeader per-tag offsets,
+    * /root/reference/src/storage/block.rs:27-37: seek without full decode).
+    */
+  private final class TermCursor(blocks: Array[PBlock], val idf: Double,
+      k1: Double, b: Double) {
+    val maxScore: Double = {
+      var m = 0
+      blocks.foreach(bl => if (bl.maxTf > m) m = bl.maxTf)
+      idf * (m * (k1 + 1.0)) / (m + k1 * (1.0 - b))
+    }
+    private var bi = 0 // current block
+    private var docs: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var pi = 0
+    private var exhaustedFlag = blocks.isEmpty
+    if (!exhaustedFlag) loadBlock()
+
+    private def loadBlock(): Unit = {
+      val (d, t) = PostingCodec.decodeDocsTfs(blocks(bi))
+      docs = d; tfs = t; pi = 0
+    }
+    def exhausted: Boolean = exhaustedFlag
+    def docId: Long = docs(pi)
+    def tf: Int = tfs(pi)
+    /** Upper-bound score of the current block (dl-free bound). */
+    def blockMaxScore: Double = {
+      val m = blocks(bi).maxTf
+      idf * (m * (k1 + 1.0)) / (m + k1 * (1.0 - b))
+    }
+    def next(): Unit = {
+      pi += 1
+      if (pi >= docs.length) {
+        bi += 1
+        if (bi >= blocks.length) exhaustedFlag = true else loadBlock()
+      }
+    }
+    def advanceTo(target: Long): Unit = {
+      if (exhaustedFlag) return
+      if (blocks(bi).maxDocId < target) {
+        // skip whole blocks via block-max docId metadata — no decode
+        var nb = bi + 1
+        while (nb < blocks.length && blocks(nb).maxDocId < target) nb += 1
+        if (nb >= blocks.length) { exhaustedFlag = true; return }
+        bi = nb; loadBlock()
+      }
+      var l = pi
+      var h = docs.length
+      while (l < h) {
+        val m = (l + h) >>> 1
+        if (docs(m) < target) l = m + 1 else h = m
+      }
+      pi = l
+      if (pi >= docs.length) { exhaustedFlag = true } // cannot happen: maxDocId >= target
+    }
+  }
+
+  /** Block-max WAND over one segment: exact BM25 for surviving docs, top-k
+    * heap with (score asc, docId desc) eviction so the kept set matches the
+    * oracle's (score desc, docId asc) ordering.
+    */
+  def wandSegment(ps: Array[SegmentPosting], normRows: Array[SegmentNorms],
+      idf: Map[String, Double], avgdl: Double, p: Bm25Params,
+      k: Int): Iterator[(Long, Double)] = {
+    if (ps.isEmpty) return Iterator.empty
+    val (normDocs, dls) = decodeNorms(normRows)
+    val cursors = ps.groupBy(_.term).valuesIterator.map { rs =>
+      val sorted = rs.sortBy(_.wave)
+      new TermCursor(sorted.flatMap(_.blocks).toArray, idf(rs.head.term), p.k1, p.b)
+    }.toArray
+
+    // top-k min-heap ordered by (score asc, docId desc): root = weakest kept
+    val heap = new java.util.PriorityQueue[(Long, Double)](k,
+      (a: (Long, Double), b: (Long, Double)) =>
+        if (a._2 != b._2) java.lang.Double.compare(a._2, b._2)
+        else java.lang.Long.compare(b._1, a._1))
+
+    def theta: Double = if (heap.size() < k) -1.0 else heap.peek()._2
+
+    val active = scala.collection.mutable.ArrayBuffer(cursors.filter(!_.exhausted): _*)
+    while (active.nonEmpty) {
+      // WAND pivot: sort active by current docId, accumulate maxScore
+      val sortedCur = active.sortBy(_.docId)
+      var acc = 0.0
+      var pivotIdx = -1
+      var i = 0
+      while (pivotIdx < 0 && i < sortedCur.length) {
+        acc += sortedCur(i).maxScore
+        if (acc > theta) pivotIdx = i
+        i += 1
+      }
+      if (pivotIdx < 0) {
+        active.clear() // no doc can beat theta
+      } else {
+        val pivotDoc = sortedCur(pivotIdx).docId
+        if (sortedCur(0).docId == pivotDoc) {
+          // block-max refinement: sum block upper bounds of every cursor
+          // positioned at docId <= pivotDoc (includes post-pivot cursors that
+          // happen to sit exactly on the pivot doc — dropping them would
+          // under-bound and could prune a true top-k doc)
+          var bacc = 0.0
+          var j = 0
+          while (j < sortedCur.length && sortedCur(j).docId <= pivotDoc) {
+            bacc += sortedCur(j).blockMaxScore; j += 1
+          }
+          if (bacc > theta) {
+            // score pivotDoc exactly
+            val dlIdx = java.util.Arrays.binarySearch(normDocs, pivotDoc)
+            val dl = if (dlIdx >= 0) dls(dlIdx).toDouble else 0.0
+            var s = 0.0
+            var m = 0
+            while (m < sortedCur.length && !sortedCur(m).exhausted && sortedCur(m).docId == pivotDoc) {
+              val c = sortedCur(m)
+              val tf = c.tf.toDouble
+              s += c.idf * (tf * (p.k1 + 1.0)) /
+                (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
+              c.next()
+              m += 1
+            }
+            if (heap.size() < k) heap.add((pivotDoc, s))
+            else if (s > heap.peek()._2 ||
+                (s == heap.peek()._2 && pivotDoc < heap.peek()._1)) {
+              heap.poll(); heap.add((pivotDoc, s))
+            }
+          } else {
+            // advance cursors at pivotDoc past it
+            var m = 0
+            while (m < sortedCur.length && !sortedCur(m).exhausted && sortedCur(m).docId == pivotDoc) {
+              sortedCur(m).next(); m += 1
+            }
+          }
+        } else {
+          // advance all pre-pivot cursors to the pivot doc
+          var m = 0
+          while (m < pivotIdx) { sortedCur(m).advanceTo(pivotDoc); m += 1 }
+        }
+        active.filterInPlace(!_.exhausted)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](heap.size())
+    while (!heap.isEmpty) out += heap.poll()
+    out.iterator
+  }
+
+  def decodeNorms(rows: Array[SegmentNorms]): (Array[Long], Array[Int]) = {
+    val sorted = rows.sortBy(_.wave)
+    val total = sorted.map(_.n).sum
+    val docs = new Array[Long](total)
+    val dls = new Array[Int](total)
+    var off = 0
+    sorted.foreach { nr =>
+      val dr = new VarByte.Reader(nr.docBytes)
+      val lr = new VarByte.Reader(nr.dlBytes)
+      var i = 0
+      var prev = 0L
+      while (i < nr.n) {
+        prev = if (i == 0) dr.read() else prev + dr.read()
+        docs(off + i) = prev
+        dls(off + i) = lr.read().toInt
+        i += 1
+      }
+      off += nr.n
+    }
+    (docs, dls)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, versioned tokenizer (spec v1).
+  *
+  * The reference ingests pre-split tags (/root/reference/src/storage/
+  * storage.rs:198); full-text tokenization is this graft's addition, and the
+  * per-row invariant from BASELINE.json input_hint ("byte-identical extracted
+  * text per url") requires it to be a pure function with no locale / regex
+  * engine nondeterminism.
+  *
+  * Spec v1: lowercase (simple case folding via `lower`), then split on runs
+  * of characters outside [a-z0-9], drop empty tokens. Expressed with
+  * Catalyst built-ins (`lower`/`split`/`filter`) so the hot path stays
+  * inside whole-stage codegen; `tokenizeScala` is the executor-side /
+  * test-side twin with identical semantics (Java regex on ASCII classes
+  * matches RE2 used by the DuckDB oracle for this pattern).
+  */
+object Tokenize {
+  val Version = "v1"
+  val SplitPattern = "[^a-z0-9]+"
+
+  /** Column form — stays in codegen; array of non-empty tokens in order. */
+  def col(c: Column): Column =
+    filter(split(lower(c), SplitPattern), t => length(t) > 0)
+
+  private val compiled = java.util.regex.Pattern.compile(SplitPattern)
+
+  /** Pure-Scala twin of [[col]]: identical output for any input. */
+  def tokenizeScala(s: String): Array[String] =
+    compiled.split(s.toLowerCase(java.util.Locale.ROOT), -1).filter(_.nonEmpty)
+}
+
+/** Deterministic html -> text extraction (spec v1).
+  *
+  * v1 rules, applied in order on the UTF-8 decoded html string:
+  *  1. remove `<script>...</script>`, `<style>...</style>`, and the whole
+  *     `<head>...</head>` element (case-insensitive, non-greedy);
+  *  2. remove all remaining tags `<...>`;
+  *  3. decode the fixed entity set &amp; &lt; &gt; &quot; &#39; &nbsp;;
+  *  4. collapse whitespace runs to a single space and trim.
+  *
+  * Pure function of the input bytes — no parser library, no locale. The
+  * synthetic corpus builds html *from* text (FIXTURES.md §2), so tests
+  * assert `extract(html) == text` byte-identically.
+  */
+object HtmlText {
+  val Version = "v1"
+
+  private val scriptRe = "(?is)<script\\b.*?</script>".r
+  private val styleRe = "(?is)<style\\b.*?</style>".r
+  private val headRe = "(?is)<head\\b.*?</head>".r
+  private val tagRe = "(?s)<[^>]*>".r
+  private val wsRe = "[\\s\\u00a0]+".r
+
+  def extract(html: Array[Byte]): String =
+    extract(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+
+  def extract(html: String): String = {
+    var s = html
+    s = scriptRe.replaceAllIn(s, " ")
+    s = styleRe.replaceAllIn(s, " ")
+    s = headRe.replaceAllIn(s, " ")
+    s = tagRe.replaceAllIn(s, "")
+    s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+    wsRe.replaceAllIn(s, " ").trim
+  }
+
+  /** Column form via a deterministic UDF (string in, string out). */
+  def extractUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((html: Array[Byte]) => extract(html))
+}
