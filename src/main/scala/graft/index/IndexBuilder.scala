@@ -39,8 +39,8 @@ import scala.collection.mutable.ArrayBuffer
 object IndexBuilder {
   val Version = 1
 
-  private case class TfRow(term: String, docId: Long, tf: Int, positions: Seq[Int], segId: Long)
-  private case class DlRow(docId: Long, dl: Int, segId: Long)
+  case class TfRow(term: String, docId: Long, tf: Int, positions: Seq[Int], segId: Long)
+  case class DlRow(docId: Long, dl: Int, segId: Long)
 
   def segmentsPath(dir: String) = s"$dir/segments"
   def normsPath(dir: String) = s"$dir/norms"

@@ -1,0 +1,94 @@
+package graft
+
+import graft.codec.{PostingCodec, VarByte}
+import graft.util.Hashing
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codec round-trip properties — ≙ the reference's serialize->reread
+  * equality tests (/root/reference/src/storage/tests/block.rs:16-41,78-133),
+  * over our delta+varbyte blocks instead of msgpack sections. Property
+  * inputs are generated from a fixed seed (FIXTURES.md: no unseeded RNG).
+  */
+class CodecSpec extends AnyFunSuite {
+
+  private def seededDocs(seed: Long, n: Int, maxGap: Long): Array[Long] = {
+    val out = new Array[Long](n)
+    var cur = (Hashing.mix(seed, 0) & 0xffffL)
+    var i = 0
+    while (i < n) {
+      out(i) = cur
+      cur += 1 + ((Hashing.mix(seed, i + 1) % maxGap + maxGap) % maxGap)
+      i += 1
+    }
+    out
+  }
+
+  test("varbyte round-trips seeded non-negative longs incl. extremes") {
+    val vs = (0 until 2000).map(i => Hashing.mix(7L, i).abs match {
+      case v if v < 0 => 0L // Long.MinValue.abs
+      case v => v
+    }).toArray ++ Array(0L, 1L, 127L, 128L, 16383L, 16384L, Long.MaxValue)
+    assert(VarByte.decodeAll(VarByte.encode(vs)).sameElements(vs))
+  }
+
+  test("posting blocks round-trip docIds and tfs across sizes (property)") {
+    for (n <- Seq(1, 2, 7, 127, 128, 129, 1000); seed <- 1L to 5L) {
+      val docs = seededDocs(seed, n, 1000)
+      val tfs = docs.map(d => (d % 17 + 1).toInt)
+      val blocks = PostingCodec.encode(docs, tfs, null, blockSize = 7)
+      val dec = PostingCodec.decodeRun(blocks.toSeq)
+      assert(dec.docIds.sameElements(docs), s"n=$n seed=$seed")
+      assert(dec.tfs.sameElements(tfs), s"n=$n seed=$seed")
+    }
+  }
+
+  test("positions round-trip") {
+    val docs = Array(3L, 10L, 11L, 500L)
+    val tfs = Array(2, 1, 3, 1)
+    val pos = Array(Array(0, 7), Array(4), Array(1, 2, 9), Array(0))
+    val blocks = PostingCodec.encode(docs, tfs, pos, blockSize = 3)
+    val dec = PostingCodec.decodeRun(blocks.toSeq)
+    assert(dec.docIds.sameElements(docs))
+    (0 until 4).foreach(i => assert(dec.positions(i).sameElements(pos(i))))
+  }
+
+  test("block-max metadata is exact per block") {
+    val docs = (0L until 300L).toArray
+    val tfs = docs.map(d => (d % 31 + 1).toInt)
+    val blocks = PostingCodec.encode(docs, tfs, null, blockSize = 128)
+    assert(blocks.length == 3)
+    blocks.zipWithIndex.foreach { case (b, i) =>
+      val lo = i * 128
+      val hi = math.min(lo + 128, 300)
+      assert(b.maxDocId == docs(hi - 1))
+      assert(b.maxTf == tfs.slice(lo, hi).max)
+      assert(b.n == hi - lo)
+    }
+  }
+
+  test("empty posting run encodes to zero blocks") {
+    assert(PostingCodec.encode(Array.empty[Long], Array.empty[Int], null).isEmpty)
+  }
+
+  test("blocks decode independently (absolute first docId per block)") {
+    val docs = Array(100L, 200L, 300L, 400L)
+    val tfs = Array(1, 1, 1, 1)
+    val blocks = PostingCodec.encode(docs, tfs, null, blockSize = 2)
+    val (d2, _) = PostingCodec.decodeDocsTfs(blocks(1))
+    assert(d2.sameElements(Array(300L, 400L)))
+  }
+
+  test("non-ascending docIds rejected") {
+    intercept[IllegalArgumentException] {
+      PostingCodec.encode(Array(5L, 5L), Array(1, 1), null)
+    }
+  }
+
+  test("compression: dense postings cost ~1 byte per docId gap") {
+    val docs = (0L until 10000L).toArray
+    val tfs = Array.fill(10000)(1)
+    val blocks = PostingCodec.encode(docs, tfs, null)
+    val bytes = blocks.map(b => b.docBytes.length + b.tfBytes.length).sum
+    assert(bytes < 10000 * 2 + blocks.length * 8, s"got $bytes bytes for 10k dense postings")
+  }
+}
