@@ -114,7 +114,8 @@ object IndexBuilder {
       .select($"docId", $"dl", $"segId").as[DlRow]
       .repartition(col("segId")).sortWithinPartitions("docId")
       .mapPartitions(encodeNormRuns(_, wave))
-    normsDs.write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave")
+    normsDs.toDF().drop("wave") // wave comes back as the partition dir column
+      .write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave")
 
     // ---- postings --------------------------------------------------------
     val toks = base.select($"docId",

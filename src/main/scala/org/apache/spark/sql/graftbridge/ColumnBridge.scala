@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `Column(expr)` constructor; the supported
+  * conversion lives in `private[sql]` ExpressionUtils. This bridge (in a
+  * package under org.apache.spark.sql, the standard extension technique)
+  * exposes it to graft's custom Catalyst expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
