@@ -86,7 +86,7 @@ object IndexBuilder {
   }
 
   /** Build one wave's segments + norms + docmeta. Data only; no commit. */
-  private[index] def buildWave(spark: SparkSession, docs: DataFrame, dir: String,
+  def buildWave(spark: SparkSession, docs: DataFrame, dir: String,
       wave: Int, opts: IndexOptions, enforceBase: Option[Long],
       enforceMinTs: Option[Long]): WaveInfo = {
     import spark.implicits._

@@ -21,11 +21,34 @@ final case class Bm25Params(k1: Double = 1.2, b: Double = 0.75)
   * (wave, segId) docID space is intersected/scored locally and only
   * per-segment results cross the wire.
   */
-class Searcher(val spark: SparkSession, val dir: String) extends Serializable {
+class Searcher(val spark: SparkSession, val dir: String,
+    timeRange: Option[(Long, Long)] = None) extends Serializable {
   import spark.implicits._
 
   val manifest: IndexManifest = ManifestIO.read(dir)
-  private val waves = manifest.waveIds
+
+  /** Committed waves, pruned to those whose [minTs, maxTs] overlaps the
+    * query time range. Correct interval-overlap test (a.from <= b.to &&
+    * b.from <= a.to) — the reference's helper is dead code AND buggy
+    * (/root/reference/src/storage/storage.rs:13-18, SURVEY.md §2.1 #21);
+    * we implement the fixed form. Waves with no timestamps (minTs=0,
+    * maxTs=0) are never pruned. Wave is a partition column, so pruning here
+    * becomes Parquet partition pruning in every scan below.
+    */
+  private val waves: Seq[Int] = timeRange match {
+    case None => manifest.waveIds
+    case Some((from, to)) =>
+      manifest.waves.filter { w =>
+        (w.minTs == 0L && w.maxTs == 0L) || (w.minTs <= to && from <= w.maxTs)
+      }.map(_.wave)
+  }
+
+  /** A view of this index restricted to waves overlapping [fromMs, toMs]. */
+  def inTimeRange(fromMs: Long, toMs: Long): Searcher =
+    new Searcher(spark, dir, Some((fromMs, toMs)))
+
+  /** Waves visible to this searcher (for pruning assertions/metrics). */
+  def visibleWaves: Seq[Int] = waves
 
   def segments: DataFrame = IndexBuilder.readSegments(spark, dir, waves)
   def norms: Dataset[SegmentNorms] = {

@@ -30,67 +30,64 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign-LSH bucket id (nPlanes bits) of a vector. */
-  def signBucket(vecCol: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
-      Array.tabulate(dim) { d =>
-        // deterministic ~N(0,1)-ish via sum of 4 uniforms (CLT), seeded
-        val u = (0 until 4).map(r =>
-          (Hashing.mix(seed, (p.toLong << 32) | (d.toLong << 8) | r) >>> 11) *
-            1.1102230246251565e-16).sum
-        u * 2.0 - 4.0
-      }
+  /** Deterministic ~N(0,1)-ish hyperplane coefficient for (table, plane,
+    * dim) — sum of 4 seeded uniforms (CLT); every executor derives identical
+    * planes with no broadcast of random state.
+    */
+  private def planeCoef(seed: Long, table: Int, p: Int, d: Int): Double = {
+    val key = (table.toLong << 48) | (p.toLong << 32) | (d.toLong << 8)
+    val u = (0 until 4).map(r =>
+      (Hashing.mix(seed, key | r) >>> 11) * 1.1102230246251565e-16).sum
+    u * 2.0 - 4.0
+  }
+
+  private def bucketOf(v: IndexedSeq[Float], seed: Long, table: Int,
+      planes: Int): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * planeCoef(seed, table, p, d); d += 1 }
+      if (dot > 0) bucket |= (1 << p)
+      p += 1
     }
+    bucket
+  }
+
+  /** Per-table sign-LSH buckets (OR-construction: `tables` independent
+    * hash tables of `planes` hyperplanes each — the standard recall lever
+    * for random-hyperplane LSH).
+    */
+  def signBuckets(vecCol: Column, tables: Int, planes: Int, seed: Long): Column = {
     val f = udf { (v: Seq[Float]) =>
-      if (v == null) 0 else {
-        var bucket = 0
-        var p = 0
-        while (p < nPlanes) {
-          var dot = 0.0
-          val plane = planes(p)
-          val n = math.min(v.length, plane.length)
-          var i = 0
-          while (i < n) { dot += v(i) * plane(i); i += 1 }
-          if (dot > 0) bucket |= (1 << p)
-          p += 1
-        }
-        bucket
+      if (v == null) Array.fill(tables)(0)
+      else {
+        val iv = v.toIndexedSeq
+        Array.tabulate(tables)(t => bucketOf(iv, seed, t, planes))
       }
     }
     f(vecCol)
   }
 
-  /** LSH-pruned cosine top-k: candidates = vectors whose sign-bucket is
-    * within Hamming distance `probe` of the query's bucket (multi-probe),
-    * then exact cosine on the survivors only.
+  /** LSH-pruned cosine top-k: a vector is a candidate if it collides with
+    * the query in ANY of the `tables` hash tables; exact cosine is computed
+    * on survivors only. At scale the bucket filter prunes the scan; recall
+    * rises with `tables`, cost with bucket size.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryVec: Array[Float], k: Int, dim: Int, nPlanes: Int = 12,
-      probe: Int = 1, seed: Long = 42L,
+      queryVec: Array[Float], k: Int, dim: Int, tables: Int = 16,
+      planes: Int = 4, seed: Long = 42L,
       excludeId: Option[Long] = None): DataFrame = {
-    val spark = df.sparkSession
-    // query bucket computed locally with the same plane derivation
-    val qb = {
-      var bucket = 0
-      (0 until nPlanes).foreach { p =>
-        var dot = 0.0
-        (0 until dim).foreach { d =>
-          val u = (0 until 4).map(r =>
-            (Hashing.mix(seed, (p.toLong << 32) | (d.toLong << 8) | r) >>> 11) *
-              1.1102230246251565e-16).sum
-          dot += queryVec(d) * (u * 2.0 - 4.0)
-        }
-        if (dot > 0) bucket |= (1 << p)
-      }
-      bucket
-    }
-    val probeBuckets: Seq[Int] =
-      if (probe <= 0) Seq(qb)
-      else qb +: (0 until nPlanes).map(p => qb ^ (1 << p))
+    val qb = Array.tabulate(tables)(t =>
+      bucketOf(queryVec.toIndexedSeq, seed, t, planes))
     val q = typedLit(queryVec.toSeq)
     val base = excludeId.map(e => df.where(col(idCol) =!= e)).getOrElse(df)
-    base.withColumn("bucket", signBucket(col(vecCol), dim, nPlanes, seed))
-      .where(col("bucket").isin(probeBuckets: _*))
+    val collide = (0 until tables)
+      .map(t => element_at(col("buckets"), t + 1) === lit(qb(t)))
+      .reduce(_ || _)
+    base.withColumn("buckets", signBuckets(col(vecCol), tables, planes, seed))
+      .where(collide)
       .select(col(idCol), cosine_sim(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

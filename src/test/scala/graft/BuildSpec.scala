@@ -1,0 +1,144 @@
+package graft
+
+import graft.gen.Pages
+import graft.index._
+import graft.text.{HtmlText, Tokenize}
+import org.apache.spark.sql.functions._
+
+/** End-to-end build pipeline over the synthetic pages corpus
+  * (FIXTURES.md §2): extraction byte-identity, docID assignment,
+  * round-trip inversion, resume, and time-range pruning.
+  */
+class BuildSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 2000L
+
+  private lazy val pages = Pages.generate(spark, N, partitions = 8).cache()
+
+  /** docs input: deterministic docIds via the zipWithIndex-free assigner. */
+  private lazy val docs = IndexBuilder
+    .assignDocIds(spark, pages, "url", base = 0L, numPartitions = 8)
+    .select(col("docId"), col("url").as("key"), col("text"),
+      col("warc_ts").as("ts"))
+    .cache()
+
+  test("html -> text extraction is byte-identical per row (input_hint invariant)") {
+    val bad = pages.select(col("html"), col("text")).as[(Array[Byte], String)]
+      .filter { case (h, t) => HtmlText.extract(h) != t }.count()
+    assert(bad == 0)
+  }
+
+  test("docID assignment: dense, unique, deterministic, no zipWithIndex") {
+    val ids = docs.select("docId").as[Long].collect().sorted
+    assert(ids.length == N)
+    assert(ids.head == 0L && ids.last == N - 1)
+    assert(ids.distinct.length == N.toInt)
+    // deterministic: a second assignment maps each url to the same docId
+    val again = IndexBuilder.assignDocIds(spark, pages, "url", 0L, 8)
+      .select(col("url"), col("docId").as("docId2"))
+    val mismatch = docs.select(col("key").as("url"), col("docId"))
+      .join(again, "url")
+      .where(col("docId") =!= col("docId2")).count()
+    assert(mismatch == 0)
+  }
+
+  test("round-trip: inverting the index reproduces the tokenized corpus") {
+    val dir = scratch("roundtrip")
+    val m = IndexBuilder.build(spark, docs, dir,
+      IndexOptions(docsPerSegment = 256))
+    assert(m.totalDocs == N)
+    val s = new Searcher(spark, dir)
+    val inverted = s.segments
+      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+      .as[SegmentPosting]
+      .flatMap { sp =>
+        val d = graft.codec.PostingCodec.decodeRun(sp.blocks.toSeq)
+        d.docIds.iterator.zip(d.tfs.iterator).map { case (doc, tf) =>
+          (doc, sp.term, tf)
+        }
+      }.toDF("docId", "term", "tf")
+    val expected = docs.select(col("docId"),
+        explode(Tokenize.col(col("text"))).as("term"))
+      .groupBy("docId", "term").agg(count(lit(1)).cast("int").as("tf"))
+    assert(inverted.count() == expected.count())
+    assert(inverted.except(expected).count() == 0)
+    assert(expected.except(inverted).count() == 0)
+    // corpus stats
+    val tok = docs.select(size(Tokenize.col(col("text"))).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(m.totalTokens == tok)
+  }
+
+  test("postings are strictly ascending and block-max consistent in every run") {
+    val dir = scratch("ascending")
+    IndexBuilder.build(spark, docs, dir, IndexOptions(docsPerSegment = 256))
+    val s = new Searcher(spark, dir)
+    val bad = s.segments
+      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+      .as[SegmentPosting]
+      .filter { sp =>
+        val d = graft.codec.PostingCodec.decodeRun(sp.blocks.toSeq)
+        val asc = d.docIds.sliding(2).forall(w => w.length < 2 || w(0) < w(1))
+        val bm = sp.blocks.forall(b =>
+          graft.codec.PostingCodec.decodeDocsTfs(b)._1.last == b.maxDocId)
+        !(asc && bm && d.docIds.length == sp.df)
+      }.count()
+    assert(bad == 0)
+  }
+
+  test("resume: stale uncommitted wave data is cleaned and recommitted identically") {
+    val dirA = scratch("resumeA")
+    val dirB = scratch("resumeB")
+    // docId halves interleave in warc_ts; drop ts so the (orthogonal)
+    // time-disjointness append guard doesn't fire — resume is about docIds
+    val half1 = docs.where(col("docId") < N / 2).drop("ts")
+    val half2 = docs.where(col("docId") >= N / 2).drop("ts")
+    val opts = IndexOptions(docsPerSegment = 256)
+    // clean two-wave build
+    IndexBuilder.build(spark, half1, dirA, opts)
+    IndexBuilder.append(spark, half2, dirA)
+    // crashed build: wave-1 data written but never committed to the manifest
+    IndexBuilder.build(spark, half1, dirB, opts)
+    IndexBuilder.buildWave(spark, half2, dirB, 1, opts, None, None) // no commit
+    assert(ManifestIO.read(dirB).waves.map(_.wave) == List(0)) // crash point
+    IndexBuilder.append(spark, half2, dirB) // resume
+    // identical logical content
+    def dump(dir: String) = new Searcher(spark, dir).segments
+      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+      .as[SegmentPosting]
+      .flatMap { sp =>
+        val d = graft.codec.PostingCodec.decodeRun(sp.blocks.toSeq)
+        d.docIds.map(doc => (sp.term, doc))
+      }.collect().toSet
+    assert(dump(dirA) == dump(dirB))
+  }
+
+  test("time-range pruning selects only overlapping waves (fixed overlap test)") {
+    val dir = scratch("timerange")
+    val half1 = docs.where(col("docId") < N / 2)
+    val half2 = docs.where(col("docId") >= N / 2)
+    // warc_ts increases with generator index i, not docId; split by ts instead
+    val tsMid = pages.agg(avg(unix_millis(col("warc_ts")))).head().getDouble(0).toLong
+    val early = docs.where(unix_millis(col("ts")) <= tsMid)
+    val late = docs.where(unix_millis(col("ts")) > tsMid)
+    // rebase late docIds above early ones to satisfy append discipline
+    val earlyN = early.count()
+    val earlyIds = IndexBuilder.assignDocIds(spark, early.drop("docId"), "key", 0L, 4)
+    val lateIds = IndexBuilder.assignDocIds(spark, late.drop("docId"), "key", earlyN, 4)
+    IndexBuilder.build(spark, earlyIds, dir, IndexOptions(docsPerSegment = 256))
+    IndexBuilder.append(spark, lateIds, dir)
+    val s = new Searcher(spark, dir)
+    assert(s.visibleWaves.sorted == Seq(0, 1))
+    val m = s.manifest
+    val w0 = m.waves.find(_.wave == 0).get
+    val pruned = s.inTimeRange(w0.minTs, w0.maxTs)
+    assert(pruned.visibleWaves == Seq(0))
+    // a pruned query returns a subset of the unpruned one
+    val all = s.lookup("term0000").count()
+    val some = pruned.lookup("term0000").count()
+    assert(some > 0 && some < all)
+    // disjoint range -> nothing
+    assert(s.inTimeRange(0L, w0.minTs - 1).visibleWaves.isEmpty)
+  }
+}

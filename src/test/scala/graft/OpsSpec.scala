@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions.cosine_sim
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup family (with planted
+  * duplicates), ANN recall, text analysis, multimodal plumbing.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // corpus with planted exact + near duplicates
+  private lazy val planted = {
+    val base = (0 until 200).map { i =>
+      val words = (0 until 30).map(j =>
+        s"word${graft.util.Hashing.mix(7L, i * 100 + j) % 50 match {
+          case v if v < 0 => -v; case v => v }}")
+      (i.toLong, words.mkString(" "))
+    }
+    val exactDup = Seq((200L, base(5)._2), (201L, base(6)._2))
+    val nearDup = Seq((202L, base(7)._2.replaceFirst("^\\S+", "changed")))
+    (base ++ exactDup ++ nearDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup maps every duplicate to the smallest doc_id") {
+    val got = Dedup.exact(planted, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got(200L) == 5L)
+    assert(got(201L) == 6L)
+    assert(got(5L) == 5L)
+    assert(got(202L) == 202L) // near-dup is NOT an exact dup
+    assert(got.size == 203)
+  }
+
+  test("jaccard pairs find planted near-duplicate above 0.8") {
+    val pairs = Dedup.jaccardPairs(planted, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5L, 200L)))
+    assert(pairs.contains((6L, 201L)))
+    assert(pairs.contains((7L, 202L))) // 1-word edit of a 30-word doc
+  }
+
+  test("minhash LSH candidates contain all planted duplicates with sane estimates") {
+    val cand = Dedup.minhashCandidates(planted, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    val pairSet = cand.map(c => (c._1, c._2)).toSet
+    assert(pairSet.contains((5L, 200L)))
+    assert(pairSet.contains((7L, 202L)))
+    val exactEst = cand.find(c => (c._1, c._2) == ((5L, 200L))).get._3
+    assert(exactEst == 1.0) // identical shingle sets -> identical signatures
+  }
+
+  test("simhash: exact dups at hamming 0, near-dups within 3") {
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((5L, 200L)) == 0)
+    assert(m((6L, 201L)) == 0)
+    assert(m.get((7L, 202L)).forall(_ <= 3))
+  }
+
+  test("LSH ANN achieves recall >= 0.5 of brute-force top-10") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ids = emb.select("vec_id").as[Long].collect().take(5)
+    val recalls = ids.map { qid =>
+      val q = emb.where(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+        excludeId = Some(qid)).select("vec_id").as[Long].collect().toSet
+      val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
+        dim = q.length, excludeId = Some(qid))
+        .select("vec_id").as[Long].collect().toSet
+      (brute intersect lsh).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.5, s"mean recall $mean (${recalls.mkString(",")})")
+  }
+
+  test("cosine_sim native expression matches a scala reference implementation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50).cache()
+    val q = emb.head().getSeq[Float](1).toArray
+    val got = emb.select(col("vec_id"), cosine_sim(col("embedding"), typedLit(q.toSeq)).as("c"))
+      .as[(Long, Double)].collect().toMap
+    val ref = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().map {
+      case (id, v) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        v.indices.foreach { i =>
+          dot += v(i).toDouble * q(i); na += v(i).toDouble * v(i); nb += q(i).toDouble * q(i)
+        }
+        id -> dot / (math.sqrt(na) * math.sqrt(nb))
+    }.toMap
+    ref.foreach { case (id, c) => assert(math.abs(got(id) - c) < 1e-12, id) }
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.head().getSeq[Float](1).toArray
+    val plan = emb.select(cosine_sim(col("embedding"), typedLit(q.toSeq)))
+      .queryExecution.executedPlan
+    val hasWsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasWsc, plan.toString)
+  }
+
+  test("language id is deterministic and marker-driven") {
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "le chat et la maison est une belle"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("token stats handle empty text") {
+    val df = Seq((1L, ""), (2L, "one two two")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(r(1L) == ((0L, 0L, 0.0)))
+    assert(r(2L) == ((3L, 2L, 3.0)))
+  }
+
+  test("multimodal metadata extraction is deterministic over binary payloads") {
+    val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val got = Multimodal.extractMeta(df, "doc_id", "payload").collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got(1L).n_bytes == 5 && got(1L).width == 64 + 5 % 576)
+    assert(got(2L).n_bytes == 0 && got(2L).kind == "image")
+  }
+}

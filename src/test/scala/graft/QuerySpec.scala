@@ -1,0 +1,135 @@
+package graft
+
+import graft.gen.Pages
+import graft.index._
+import graft.text.Tokenize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Query semantics vs a naive Spark oracle (explode + groupBy formulations
+  * — the FIXTURES.md §3 query fixture set) on the zipf-skewed synthetic
+  * corpus: AND/OR/NOT/phrase equality and BM25 rank-identity incl. WAND
+  * pruning correctness.
+  */
+class QuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 3000L
+  private lazy val (dir, docs) = {
+    val pages = Pages.generate(spark, N, partitions = 8)
+    val d = IndexBuilder.assignDocIds(spark, pages, "url", 0L, 8)
+      .select(col("docId"), col("url").as("key"), col("text"),
+        col("warc_ts").as("ts")).cache()
+    val dd = scratch("queryspec")
+    IndexBuilder.build(spark, d, dd, IndexOptions(docsPerSegment = 512))
+    (dd, d)
+  }
+  private lazy val s = new Searcher(spark, dir)
+  private lazy val toks = docs
+    .select(col("docId"), explode(Tokenize.col(col("text"))).as("term"))
+    .cache()
+
+  private def docSet(df: DataFrame): Set[Long] =
+    df.select(col("docId").cast("long")).as[Long].collect().toSet
+
+  // head, mid, tail terms under the zipf vocab
+  private val head = "term0000"
+  private val mid = "term0040"
+  private val tail = "term0700"
+
+  test("single-term lookup equals naive filter (head and tail)") {
+    for (t <- Seq(head, tail)) {
+      val naive = docSet(toks.where(col("term") === t).distinct())
+      assert(docSet(s.lookup(t)) == naive, t)
+    }
+  }
+
+  test("AND equals HAVING count(DISTINCT term) = n, extreme df asymmetry") {
+    for (ts <- Seq(Seq(head, tail), Seq(head, mid, "term0010"), Seq(mid, tail))) {
+      val naive = docSet(toks.where(col("term").isin(ts: _*))
+        .groupBy("docId").agg(countDistinct("term").as("c"))
+        .where(col("c") === ts.size))
+      assert(docSet(s.and(ts)) == naive, ts.mkString(","))
+    }
+  }
+
+  test("OR equals grouped union with match counts") {
+    val ts = Seq(mid, tail, "term0100")
+    val naive = toks.where(col("term").isin(ts: _*))
+      .groupBy("docId").agg(countDistinct("term").cast("int").as("matched"))
+      .as[(Long, Int)].collect().toMap
+    val got = s.or(ts).as[(Long, Int)].collect().toMap
+    assert(got == naive)
+  }
+
+  test("AND NOT subtracts the exclusion set") {
+    val naiveMust = docSet(toks.where(col("term").isin(mid, "term0020"))
+      .groupBy("docId").agg(countDistinct("term").as("c")).where(col("c") === 2))
+    val naiveNot = docSet(toks.where(col("term") === tail).distinct())
+    assert(docSet(s.andNot(Seq(mid, "term0020"), Seq(tail))) == naiveMust -- naiveNot)
+  }
+
+  test("missing / empty term sets") {
+    assert(s.and(Seq("nosuchterm")).count() == 0)
+    assert(s.and(Seq(head, "nosuchterm")).count() == 0)
+    assert(s.and(Nil).count() == 0)
+    assert(s.or(Seq("nosuchterm")).count() == 0)
+    assert(s.bm25(Seq("nosuchterm"), 5).count() == 0)
+    assert(s.lookup("nosuchterm").count() == 0)
+    // one missing term in bm25 must not zero the others
+    assert(s.bm25(Seq(tail, "nosuchterm"), 5).count() > 0)
+  }
+
+  test("phrase equals position-adjacency oracle") {
+    // build a bigram that actually occurs: take one doc's first two tokens
+    val sample = docs.select(col("text")).as[String].head()
+    val ws = Tokenize.tokenizeScala(sample)
+    val phrase = Seq(ws(0), ws(1))
+    val naive = docSet(docs.where(
+      concat(lit(" "), regexp_replace(col("text"), lit("\\s+"), lit(" ")), lit(" "))
+        .contains(s" ${phrase.mkString(" ")} ")).select("docId"))
+    assert(docSet(s.phrase(phrase)) == naive)
+    assert(naive.nonEmpty)
+  }
+
+  /** Naive BM25 in plain Spark SQL ops — the rank-identity oracle. */
+  private def naiveBm25(terms: Seq[String], k: Int): Seq[(Long, Double)] = {
+    val m = s.manifest
+    val nDocs = m.totalDocs.toDouble
+    val avgdl = m.avgdl
+    val dl = docs.select(col("docId"), size(Tokenize.col(col("text"))).as("dl"))
+    val tf = toks.where(col("term").isin(terms: _*))
+      .groupBy("docId", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.where(col("term").isin(terms: _*))
+      .groupBy("term").agg(countDistinct("docId").as("df"))
+    tf.join(df, "term").join(dl, "docId")
+      .withColumn("idf", log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part", col("idf") * col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      .groupBy("docId").agg(sum("part").as("score"))
+      .withColumn("r", round(col("score"), 6))
+      .orderBy(col("r").desc, col("docId"))
+      .limit(k)
+      .select(col("docId"), col("r"))
+      .as[(Long, Double)].collect().toSeq
+  }
+
+  test("BM25 top-k rank-identical to the naive oracle (head/mid/tail mixes)") {
+    for (terms <- Seq(Seq(head, mid), Seq(mid, tail, "term0100"),
+        Seq(head, tail), Seq(tail))) {
+      val naive = naiveBm25(terms, 10)
+      val got = s.bm25(terms, 10)
+        .withColumn("r", round(col("score"), 6))
+        .orderBy(col("r").desc, col("docId"))
+        .select(col("docId"), col("r"))
+        .as[(Long, Double)].collect().toSeq
+      assert(got == naive, s"terms=$terms\n got=$got\n exp=$naive")
+    }
+  }
+
+  test("BM25 with k larger than result set returns all matches") {
+    val matches = docSet(s.lookup(tail))
+    val got = s.bm25(Seq(tail), matches.size + 100)
+    assert(got.count() == matches.size)
+  }
+}

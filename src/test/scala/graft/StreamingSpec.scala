@@ -1,0 +1,65 @@
+package graft
+
+import graft.index._
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming ingest: micro-batches become committed LSM waves
+  * and the final index is logically identical to a batch build (the
+  * reference's push-stream + flush-watermark semantics, storage.rs:221-224).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch ingest == batch build (wave per micro-batch)") {
+    val docs = (0L until 300L).map { i =>
+      val words = (0 to (i % 7).toInt).map(j => s"w${(i + j) % 40}")
+      (i, s"k$i", words.mkString(" "))
+    }.toDF("docId", "key", "text")
+
+    // batch reference build
+    val batchDir = scratch("stream-batch")
+    IndexBuilder.build(spark, docs, batchDir, IndexOptions(docsPerSegment = 64))
+
+    // stream the same rows as 3 parquet files -> 3 micro-batches
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    Seq(0L -> 100L, 100L -> 200L, 200L -> 300L).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        docs.where(col("docId") >= lo && col("docId") < hi)
+          .coalesce(1).write.parquet(s"$srcDir/batch$i")
+    }
+    val streamDir = scratch("stream-idx")
+    val schema = spark.read.parquet(s"$srcDir/batch0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/batch*")
+    val q = StreamingOps.ingestStream(spark, stream, streamDir,
+      IndexOptions(docsPerSegment = 64))
+    q.processAllAvailable()
+    q.stop()
+
+    val mStream = ManifestIO.read(streamDir)
+    assert(mStream.totalDocs == 300)
+
+    def dump(dir: String) = new Searcher(spark, dir).segments
+      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+      .as[SegmentPosting]
+      .flatMap { sp =>
+        val d = graft.codec.PostingCodec.decodeRun(sp.blocks.toSeq)
+        d.docIds.iterator.zip(d.tfs.iterator).map(p => (sp.term, p._1, p._2))
+      }.collect().toSet
+    assert(dump(streamDir) == dump(batchDir))
+  }
+
+  test("windowed event counts equal the batch formulation") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = StreamingOps.windowedEventCounts(spark, path)
+    val batch = spark.read.parquet(path)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("n"), col("total"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+  }
+}
