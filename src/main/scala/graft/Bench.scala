@@ -1,24 +1,113 @@
 package graft
+
+import graft.gen.Pages
+import graft.index.{IndexBuilder, IndexOptions, Searcher}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point (driver contract): prints ONE JSON line.
+  *
+  * Sections:
+  *  - `queries`: per-SparkEntry-query wall seconds at `SPARK_GRAFT_SF_DIR`,
+  *    measured warm (index builds pre-triggered so one-time build cost is
+  *    not misattributed to whichever query runs first);
+  *  - `build`: index-build docs/sec + postings/sec over a deterministic
+  *    synthetic pages corpus (FIXTURES.md §2) — the BASELINE.md headline;
+  *  - `bm25_p50_ms`/`bm25_p99_ms`: query latency over repeated BM25 top-10
+  *    runs with rotating term mixes;
+  *  - `scaling`: the same build at local[8] vs local[32] on identical input
+  *    (BASELINE.md protocol: sandbox proxy for N vs 4N executors);
+  *    efficiency = (docsPerSec32 / docsPerSec8) / 4.
+  */
 object Bench {
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Full pipeline build over n synthetic pages; returns (docs/sec, postings/sec). */
+  private def buildThroughput(spark: SparkSession, n: Long, dir: String,
+      parts: Int): (Double, Double) = {
+    val pages = Pages.generate(spark, n, partitions = parts)
+    val docs = IndexBuilder
+      .assignDocIds(spark, pages, "url", 0L, parts)
+      .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
+    val (m, sec) = time {
+      IndexBuilder.build(spark, docs, dir,
+        IndexOptions(docsPerSegment = 1L << 14, withPositions = true))
+    }
+    val postings = m.waves.map(_.totalTokens).sum // upper bound ~ tokens
+    (n / sec, postings / sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "40000").toLong
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+
+    var spark = session(cpus)
+
+    // ---- warm the index caches so query timings are query timings --------
+    val (_, buildFullSec) = time(IndexCache.full(spark, sfDir))
+    val (_, buildTwoSec) = time(IndexCache.twoWave(spark, sfDir))
+
+    // ---- per-query timings ------------------------------------------------
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- BM25 latency distribution ----------------------------------------
+    val searcher = new Searcher(spark, IndexCache.full(spark, sfDir))
+    val termSets = Seq(
+      Seq("spark", "vector", "dup"), Seq("merge", "sort"), Seq("dup"),
+      Seq("window", "filter", "scan"), Seq("table", "query", "key"))
+    val lat = (0 until 30).map { i =>
+      val (_, sec) = time(searcher.bm25(termSets(i % termSets.size), 10).count())
+      sec * 1000.0
+    }.sorted
+    val p50 = lat(lat.size / 2)
+    val p99 = lat(math.min(lat.size - 1, (lat.size * 99) / 100))
+
+    // ---- build throughput at the bench session's core count ---------------
+    val (docsPerSec, postingsPerSec) =
+      buildThroughput(spark, benchDocs, s"$tmp/main", cpus)
     spark.stop()
+
+    // ---- scaling: identical input at local[8] vs local[32], interleaved
+    // min-of-reps (multi-tenant host noise robustness; see ScalingProbe) ----
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val tp = ScalingProbe.run(Seq(8, 32), scaleDocs, scaleReps, s"$tmp/scale")
+    val dps8 = tp(8)
+    val dps32 = tp(32)
+    val efficiency = (dps32 / dps8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        f""""index_build":{"docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,""" +
+        f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f},""" +
+        f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f,""" +
+        f""""scaling":{"docs":$scaleDocs,"docs_per_sec_8":$dps8%.1f,"docs_per_sec_32":$dps32%.1f,"efficiency":$efficiency%.3f}}""")
   }
 }

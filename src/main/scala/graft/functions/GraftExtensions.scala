@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native Catalyst
+  * functions for SQL use. Activate with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * SQL surface:
+  *   - `cosine_sim(array<float>, array<float>) -> double` (codegen'd)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_sim expects 2 arguments")
+        CosineSim(children.head, children(1))
+      }))
+  }
+}

@@ -80,9 +80,11 @@ object Compactor {
 
     // --- norms: decode + re-encode per segId (delta chains can't concat) --
     val norms = IndexBuilder.readNorms(spark, dir, waves)
-      .select("wave", "segId", "n", "docBytes", "dlBytes").as[SegmentNorms]
+      .select("wave", "segId", "n", "docBytes", "dlBytes",
+        "sumDl", "minDocId", "maxDocId", "minTs", "maxTs").as[SegmentNorms]
     val mergedNorms = norms.groupByKey(_.segId).mapGroups { (segId: Long, it: Iterator[SegmentNorms]) =>
-      val (docs, dls) = Searcher.decodeNorms(it.toArray)
+      val rows = it.toArray
+      val (docs, dls) = Searcher.decodeNorms(rows)
       val docBuf = new ArrayBuffer[Byte]()
       val dlBuf = new ArrayBuffer[Byte]()
       var i = 0
@@ -94,7 +96,10 @@ object Compactor {
         VarByte.write(dlBuf, dls(i).toLong)
         i += 1
       }
-      SegmentNorms(newWave, segId, docs.length, docBuf.toArray, dlBuf.toArray)
+      val tsMins = rows.map(_.minTs).filter(_ != 0L)
+      SegmentNorms(newWave, segId, docs.length, docBuf.toArray, dlBuf.toArray,
+        rows.map(_.sumDl).sum, rows.map(_.minDocId).min, rows.map(_.maxDocId).max,
+        if (tsMins.isEmpty) 0L else tsMins.min, rows.map(_.maxTs).max)
     }
     mergedNorms.toDF().write.mode("overwrite").partitionBy("wave")
       .parquet(IndexBuilder.normsPath(dir) + s"/.tmpwave$newWave")

@@ -15,8 +15,9 @@ import scala.collection.mutable.ArrayBuffer
   * storage.rs:198-334): one *wave* = one atomically committed batch of
   * segments. Within a wave:
   *
-  *  - tokenize + posexplode (≙ ActiveBlock::push row->index conversion,
-  *    block.rs:372-387), tf/positions via `groupBy(term, docId)`;
+  *  - tokenize + doc-local (term -> tf, positions) aggregation + explode
+  *    (≙ ActiveBlock::push row->index conversion, block.rs:372-387) — no
+  *    per-token shuffle ever leaves the scan stage;
   *  - segment assignment `segId = docId div docsPerSegment` — the natural
   *    salt that spreads head-term (stopword) postings across partitions, so
   *    no single task ever encodes a whole head-term posting list (north_rule
@@ -40,7 +41,33 @@ object IndexBuilder {
   val Version = 1
 
   case class TfRow(term: String, docId: Long, tf: Int, positions: Seq[Int], segId: Long)
-  case class DlRow(docId: Long, dl: Int, segId: Long)
+  case class DlRow(docId: Long, dl: Int, segId: Long, ts: Long)
+  case class TermEntry(term: String, tf: Int, positions: Seq[Int])
+
+  /** Doc-local (term -> tf, positions) aggregation; positions ascend by
+    * construction (single left-to-right pass, ≙ ActiveBlock::push appending
+    * monotone docIds per tag, block.rs:384-386).
+    */
+  def termEntriesUdf(withPositions: Boolean): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val ts = Tokenize.tokenizeScala(if (text == null) "" else text)
+      val m = new java.util.HashMap[String, ArrayBuffer[Int]]()
+      var i = 0
+      while (i < ts.length) {
+        var b = m.get(ts(i))
+        if (b == null) { b = new ArrayBuffer[Int](4); m.put(ts(i), b) }
+        b += i
+        i += 1
+      }
+      val out = new ArrayBuffer[TermEntry](m.size())
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out += TermEntry(e.getKey, e.getValue.length,
+          if (withPositions) e.getValue.toSeq else Nil)
+      }
+      out.toSeq
+    }
 
   def segmentsPath(dir: String) = s"$dir/segments"
   def normsPath(dir: String) = s"$dir/norms"
@@ -111,21 +138,25 @@ object IndexBuilder {
       .write.mode("overwrite").parquet(s"${docmetaPath(dir)}/wave=$wave")
 
     val normsDs: Dataset[SegmentNorms] = docdl
-      .select($"docId", $"dl", $"segId").as[DlRow]
+      .select($"docId", $"dl", $"segId", $"ts").as[DlRow]
       .repartition(col("segId")).sortWithinPartitions("docId")
       .mapPartitions(encodeNormRuns(_, wave))
     normsDs.toDF().drop("wave") // wave comes back as the partition dir column
       .write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave")
 
     // ---- postings --------------------------------------------------------
-    val toks = base.select($"docId",
-      posexplode(Tokenize.col($"text")).as(Seq("pos", "term")))
-    val posAgg =
-      if (withPositions) sort_array(collect_list($"pos"))
-      else array().cast(ArrayType(IntegerType))
-    val tfpos = toks.groupBy($"term", $"docId")
-      .agg(count(lit(1)).cast(IntegerType).as("tf"), posAgg.as("positions"))
-      .withColumn("segId", ($"docId" / lit(dps)).cast(LongType))
+    // Per-doc local aggregation (term -> tf, positions) BEFORE any shuffle —
+    // exactly the reference memtable's row->index conversion
+    // (/root/reference/src/storage/block.rs:372-387). This replaces a full
+    // `explode + groupBy(term, docId)` shuffle of one row per token with a
+    // single shuffle of one row per distinct (doc, term): at web scale the
+    // dominant cost is that first shuffle, and tf/positions are computable
+    // doc-locally because a doc lives in one row.
+    val tfpos = base
+      .select($"docId", explode(termEntriesUdf(withPositions)($"text")).as("e"))
+      .select($"e.term".as("term"), $"docId", $"e.tf".as("tf"),
+        $"e.positions".as("positions"),
+        ($"docId" / lit(dps)).cast(LongType).as("segId"))
 
     val segDs: Dataset[SegmentPosting] = tfpos
       .repartition(col("term"), col("segId"))
@@ -141,12 +172,14 @@ object IndexBuilder {
       segmentsPath(dir) + s"/wave=$wave")
     hadoopDelete(spark, segmentsPath(dir) + s"/.tmpwave$wave")
 
-    // ---- wave stats (from written data; column-pruned reads) -------------
-    val metaAgg = spark.read.parquet(s"${docmetaPath(dir)}/wave=$wave")
-      .agg(count(lit(1)), sum($"dl"), min($"docId"), max($"docId"),
-        min(when($"ts" =!= 0L, $"ts")), max($"ts"))
+    // ---- wave stats: aggregated from per-segment norms metadata ----------
+    // (one row per segment, not per doc — the stats job reads O(segments)
+    // rows instead of rescanning the forward map)
+    val metaAgg = spark.read.parquet(s"${normsPath(dir)}/wave=$wave")
+      .agg(sum($"n"), sum($"sumDl"), min($"minDocId"), max($"maxDocId"),
+        min(when($"minTs" =!= 0L, $"minTs")), max($"maxTs"))
       .head()
-    val numDocs = metaAgg.getLong(0)
+    val numDocs = if (metaAgg.isNullAt(0)) 0L else metaAgg.getLong(0)
     val totalTokens = if (metaAgg.isNullAt(1)) 0L else metaAgg.getLong(1)
     val minDocId = if (numDocs == 0) 0L else metaAgg.getLong(2)
     val maxDocId = if (numDocs == 0) -1L else metaAgg.getLong(3)
@@ -224,15 +257,26 @@ object IndexBuilder {
         val dlBuf = new ArrayBuffer[Byte]()
         var n = 0
         var prev = 0L
+        var sumDl = 0L
+        var minDoc = Long.MaxValue
+        var maxDoc = Long.MinValue
+        var minTs = 0L
+        var maxTs = 0L
         while (buf.hasNext && buf.head.segId == segId) {
           val r = buf.next()
           if (n == 0) VarByte.write(docBuf, r.docId)
           else VarByte.write(docBuf, r.docId - prev)
           prev = r.docId
           VarByte.write(dlBuf, r.dl.toLong)
+          sumDl += r.dl
+          if (r.docId < minDoc) minDoc = r.docId
+          if (r.docId > maxDoc) maxDoc = r.docId
+          if (r.ts != 0L && (minTs == 0L || r.ts < minTs)) minTs = r.ts
+          if (r.ts > maxTs) maxTs = r.ts
           n += 1
         }
-        SegmentNorms(wave, segId, n, docBuf.toArray, dlBuf.toArray)
+        SegmentNorms(wave, segId, n, docBuf.toArray, dlBuf.toArray,
+          sumDl, minDoc, maxDoc, minTs, maxTs)
       }
     }
 

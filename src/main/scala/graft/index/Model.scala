@@ -31,7 +31,12 @@ final case class SegmentNorms(
     segId: Long,
     n: Int,
     docBytes: Array[Byte],
-    dlBytes: Array[Byte])
+    dlBytes: Array[Byte],
+    sumDl: Long,
+    minDocId: Long,
+    maxDocId: Long,
+    minTs: Long,
+    maxTs: Long)
 
 /** Forward map docId -> external key (+ doc stats). ≙ `keys`/`timestamps`
   * columns of the reference block (/root/reference/src/storage/block.rs:90-91).

@@ -53,7 +53,8 @@ class Searcher(val spark: SparkSession, val dir: String,
   def segments: DataFrame = IndexBuilder.readSegments(spark, dir, waves)
   def norms: Dataset[SegmentNorms] = {
     val df = IndexBuilder.readNorms(spark, dir, waves)
-    df.select("wave", "segId", "n", "docBytes", "dlBytes").as[SegmentNorms]
+    df.select("wave", "segId", "n", "docBytes", "dlBytes",
+      "sumDl", "minDocId", "maxDocId", "minTs", "maxTs").as[SegmentNorms]
   }
   def docMeta: DataFrame = IndexBuilder.readDocMeta(spark, dir, waves)
 

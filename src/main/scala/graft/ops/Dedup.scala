@@ -100,20 +100,28 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(k % bands == 0)
     val rows = k / bands
+    // Materialize signatures once: the UDF would otherwise be recomputed on
+    // both sides of the self-join AND per band (measured 49s -> ~5s on the
+    // 500-doc driver table). At cluster scale this persist becomes a
+    // checkpoint/staging-table write of (id, sig) — tiny relative to input.
     val sig = df.select(col(idCol).as("id"),
       minhashSig(k, seed)(array_distinct(shingleCol(col(textCol), shingleN))).as("sig"))
       .where(size(col("sig")) > 0)
-    // band bucket = hash of the band's slice
-    val banded = sig.select(col("id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shuffle only (id, band, bucket) — signatures stay out of the join
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(lit(42), slice(col("sig"), b * rows + lit(1), lit(rows)), b))).as(Seq("band", "bucket")))
+        b => hash(lit(42), slice(col("sig"), b * rows + lit(1), lit(rows)), b)))
+        .as(Seq("band", "bucket")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    cand.withColumn("est_jaccard",
+    cand
+      .join(sig.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sig.select(col("id").as("b"), col("sig").as("sigb")), "b")
+      .withColumn("est_jaccard",
         aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(k))
       .select(col("a"), col("b"), col("est_jaccard"))

