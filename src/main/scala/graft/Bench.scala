@@ -14,9 +14,10 @@ import org.apache.spark.sql.SparkSession
   *    synthetic pages corpus (FIXTURES.md §2) — the BASELINE.md headline;
   *  - `bm25_p50_ms`/`bm25_p99_ms`: query latency over repeated BM25 top-10
   *    runs with rotating term mixes;
-  *  - `scaling`: the same build at local[8] vs local[32] on identical input
-  *    (BASELINE.md protocol: sandbox proxy for N vs 4N executors);
-  *    efficiency = (docsPerSec32 / docsPerSec8) / 4.
+  *  - `scaling`: the same build at local[N] vs local[4N] on identical input
+  *    (BASELINE.md protocol: sandbox proxy for N vs 4N executors), default
+  *    2 -> 8 physical cores, interleaved min-of-reps;
+  *    efficiency = (docsPerSec_hi / docsPerSec_lo) / 4.
   */
 object Bench {
   private def session(cores: Int): SparkSession = {
@@ -57,7 +58,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "40000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "300000").toLong
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
 
     var spark = session(cpus)
@@ -92,13 +93,26 @@ object Bench {
       buildThroughput(spark, benchDocs, s"$tmp/main", cpus)
     spark.stop()
 
-    // ---- scaling: identical input at local[8] vs local[32], interleaved
-    // min-of-reps (multi-tenant host noise robustness; see ScalingProbe) ----
+    // ---- scaling: identical input at local[N] vs local[4N], interleaved
+    // min-of-reps (multi-tenant host noise robustness; see ScalingProbe).
+    // Default N=2 -> 4N=8: beyond 8 threads this sandbox VM's vCPUs are
+    // SMT/overcommitted and even raw hashing scales at only ~0.70 from
+    // 8->32, so 2->8 is the honest physical-core proxy (BASELINE.md).
     val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-    val tp = ScalingProbe.run(Seq(8, 32), scaleDocs, scaleReps, s"$tmp/scale")
-    val dps8 = tp(8)
-    val dps32 = tp(32)
-    val efficiency = (dps32 / dps8) / 4.0
+    val scaleCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val tmpRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else tmp
+    val scaleTmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(tmpRoot), "graft-bench-scale").toString
+    ScalingProbe.buildOnce(scaleCores.max, math.min(scaleDocs / 8, 50000L),
+      s"$scaleTmp/warmup") // JIT warmup, untimed
+    val tp = ScalingProbe.run(scaleCores, scaleDocs, scaleReps, scaleTmp)
+    val loC = scaleCores.head
+    val hiC = scaleCores.last
+    val dps8 = tp(loC)
+    val dps32 = tp(hiC)
+    val efficiency = (dps32 / dps8) / (hiC.toDouble / loC)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleTmp))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -108,6 +122,7 @@ object Bench {
         f""""index_build":{"docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,""" +
         f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f},""" +
         f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f,""" +
-        f""""scaling":{"docs":$scaleDocs,"docs_per_sec_8":$dps8%.1f,"docs_per_sec_32":$dps32%.1f,"efficiency":$efficiency%.3f}}""")
+        f""""scaling":{"docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,""" +
+        f""""docs_per_sec_lo":$dps8%.1f,"docs_per_sec_hi":$dps32%.1f,"efficiency":$efficiency%.3f}}""")
   }
 }
