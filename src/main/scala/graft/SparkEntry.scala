@@ -187,7 +187,9 @@ object SparkEntry {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload").toDF()),
     "q22_stream_window" -> ((s, dir) =>
-      StreamingOps.windowedEventCounts(s, s"$dir/events.parquet")))
+      StreamingOps.windowedEventCounts(s, s"$dir/events.parquet")),
+    "q23_sessionize" -> ((s, dir) =>
+      graft.ops.Sessionize.batch(s.read.parquet(s"$dir/events.parquet")).toDF()))
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
@@ -296,5 +298,13 @@ object SparkEntry {
         "FROM documents"),
     "q22_stream_window" ->
       ("SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws, event_type, " +
-        "count(*) AS n, round(sum(value), 4) AS total FROM events GROUP BY 1, 2"))
+        "count(*) AS n, round(sum(value), 4) AS total FROM events GROUP BY 1, 2"),
+    "q23_sessionize" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events), " +
+        "l AS (SELECT user_id, s, lag(s) OVER (PARTITION BY user_id ORDER BY s) AS prev FROM e), " +
+        "b AS (SELECT user_id, s, CASE WHEN prev IS NULL OR s - prev > 1800 THEN 1 ELSE 0 END AS brk FROM l), " +
+        "sess AS (SELECT user_id, s, sum(brk) OVER (PARTITION BY user_id ORDER BY s " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM b) " +
+        "SELECT user_id, sid, count(*) AS n_events, max(s) - min(s) AS duration_sec " +
+        "FROM sess GROUP BY user_id, sid"))
 }

@@ -66,13 +66,23 @@ class Searcher(val spark: SparkSession, val dir: String,
       .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
       .as[SegmentPosting]
 
+  @transient private lazy val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[TermStats]]()
+
   /** Global stats for query terms — a driver-side lookup of index *metadata*
-    * (few rows, pushdown on the sorted termstats table).
+    * (few rows, pushdown on the sorted termstats table), memoized per term
+    * so repeated queries over a Searcher pay no lookup job (≙ the
+    * reference's lazily-cached posting handles, block.rs:279-292).
     */
   def termStats(terms: Seq[String]): Map[String, TermStats] = {
-    val df = spark.read.parquet(IndexBuilder.termstatsPath(dir))
-      .where(col("term").isin(terms: _*))
-    df.as[TermStats].collect().map(t => t.term -> t).toMap
+    val missing = terms.filterNot(statsCache.containsKey)
+    if (missing.nonEmpty) {
+      val fetched = spark.read.parquet(IndexBuilder.termstatsPath(dir))
+        .where(col("term").isin(missing: _*))
+        .as[TermStats].collect().map(t => t.term -> t).toMap
+      missing.foreach(t => statsCache.put(t, fetched.get(t)))
+    }
+    terms.flatMap(t => statsCache.get(t).map(t -> _)).toMap
   }
 
   private def emptyDocIds: DataFrame =

@@ -50,6 +50,33 @@ class StreamingSpec extends SparkSpec {
     assert(dump(streamDir) == dump(batchDir))
   }
 
+  test("stateful streaming sessionization matches batch (closed sessions)") {
+    import graft.ops.{SessionEvent, Sessionize}
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val batchSessions = Sessionize.batch(spark.read.parquet(path))
+      .collect().toSet
+    // stream the same file; flatMapGroupsWithState emits only CLOSED
+    // sessions, so compare against batch minus each user's final session
+    val schema = spark.read.parquet(path).schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      srcDir.resolve("events.parquet"))
+    val events = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .select(col("user_id").cast("long"),
+        unix_timestamp(col("ts").cast("timestamp")).as("tsSec"),
+        col("value").cast("double"))
+      .as[SessionEvent]
+    val q = Sessionize.streaming(events).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_out")
+      .as[graft.ops.SessionOut].collect().toSet
+    val lastPerUser = batchSessions.groupBy(_.user_id)
+      .map { case (_, ss) => ss.maxBy(_.sid) }.toSet
+    assert(streamed == batchSessions -- lastPerUser)
+    assert(streamed.nonEmpty)
+  }
+
   test("windowed event counts equal the batch formulation") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val streamed = StreamingOps.windowedEventCounts(spark, path)
