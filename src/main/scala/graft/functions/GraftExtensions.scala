@@ -21,5 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "cosine_sim expects 2 arguments")
         CosineSim(children.head, children(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_match"),
+      new ExpressionInfo(classOf[GraftMatch].getName, "graft_match"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_match expects 2 arguments")
+        GraftMatch(children.head, children(1))
+      }))
+    // access-path selection: graft_match filters over registered corpus
+    // tables become index semi-joins (see IndexAccessRule)
+    e.injectOptimizerRule(s => new graft.index.IndexAccessRule(s))
   }
 }

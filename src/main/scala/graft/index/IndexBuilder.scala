@@ -139,7 +139,7 @@ object IndexBuilder {
 
     val normsDs: Dataset[SegmentNorms] = docdl
       .select($"docId", $"dl", $"segId", $"ts").as[DlRow]
-      .repartition(col("segId")).sortWithinPartitions("docId")
+      .repartition(col("segId")).sortWithinPartitions("segId", "docId")
       .mapPartitions(encodeNormRuns(_, wave))
     normsDs.toDF().drop("wave") // wave comes back as the partition dir column
       .write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave")

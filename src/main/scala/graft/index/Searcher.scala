@@ -210,9 +210,32 @@ class Searcher(val spark: SparkSession, val dir: String,
     val perSegK = k + 64 // slack so rounded-score global ties resolve like the oracle
     val p = params
     val presentSeq = present.toSeq
+    // Norms pruning: a tail-term query touches few segments, but the naive
+    // cogroup would shuffle the ENTIRE norms table (at 10^12 docs that is
+    // the whole corpus's docLen sidecar — a per-query full-corpus shuffle).
+    // When term stats say the match set is small, collect the touched
+    // (wave, segId) keys first and push a segId filter into the norms scan
+    // (norms files are segId-ordered -> row-group skipping). Head-term
+    // queries fall back to the full scan, which they genuinely need.
+    val expectedDocs = present.map(t => stats(t).df).sum
+    val segLimit = 4096
+    val prunedNorms =
+      if (expectedDocs / math.max(1, manifest.docsPerSegment) < segLimit) {
+        val touched = postings(presentSeq)
+          .select("wave", "segId").distinct().collect()
+          .map(r => (r.getInt(0), r.getLong(1)))
+        if (touched.length < segLimit) {
+          val segIds = touched.map(_._2).distinct.toSeq
+          val waves2 = touched.map(_._1).distinct.toSeq
+          IndexBuilder.readNorms(spark, dir, waves2.intersect(waves))
+            .where(col("segId").isin(segIds: _*))
+            .select("wave", "segId", "n", "docBytes", "dlBytes",
+              "sumDl", "minDocId", "maxDocId", "minTs", "maxTs").as[SegmentNorms]
+        } else norms
+      } else norms
     val scored = postings(presentSeq)
       .groupByKey(sp => (sp.wave, sp.segId))
-      .cogroup(norms.groupByKey(nr => (nr.wave, nr.segId))) {
+      .cogroup(prunedNorms.groupByKey(nr => (nr.wave, nr.segId))) {
         (_: (Int, Long), ps: Iterator[SegmentPosting], ns: Iterator[SegmentNorms]) =>
           val normRows = ns.toArray
           if (normRows.isEmpty) Iterator.empty

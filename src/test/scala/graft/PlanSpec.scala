@@ -43,6 +43,21 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("wave"), plan)
   }
 
+  test("postings build path contains exactly one exchange (single-shuffle pipeline)") {
+    val docs = (0L until 100L).map(i => (i, s"k$i", "a b c")).toDF("docId", "key", "text")
+    val tfpos = docs
+      .select(col("docId"),
+        explode(IndexBuilder.termEntriesUdf(true)(col("text"))).as("e"))
+      .select(col("e.term").as("term"), col("docId"), col("e.tf").as("tf"),
+        col("e.positions").as("positions"),
+        (col("docId") / lit(128)).cast("long").as("segId"))
+      .repartition(col("term"), col("segId"))
+      .sortWithinPartitions("term", "segId", "docId")
+    val plan = tfpos.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("brute-force ANN top-k plans TakeOrderedAndProject (no global sort shuffle)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.head().getSeq[Float](1).toArray

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.GraftMatch.graft_match
+import graft.index._
+import org.apache.spark.sql.functions._
+
+/** IndexAccessRule: graft_match predicates evaluate naively on unregistered
+  * tables and become index semi-joins on registered ones, with identical
+  * results.
+  */
+class RuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val setup: (String, String) = {
+    // corpus written to parquet so the scan is a HadoopFsRelation
+    val docs = (0L until 400L)
+      .map(i => (i, s"w${i % 37} w${(i * 3) % 37} filler$i"))
+      .toDF("doc_id", "text")
+    val tableDir = scratch("rule-table")
+    docs.write.mode("overwrite").parquet(tableDir)
+    val idxDir = scratch("rule-idx")
+    IndexBuilder.build(spark,
+      docs.selectExpr("doc_id AS docId", "CAST(doc_id AS STRING) AS key", "text"),
+      idxDir, IndexOptions(docsPerSegment = 128))
+    // activate the optimizer rule on the shared session
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[IndexAccessRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new IndexAccessRule(spark)
+    (tableDir, idxDir)
+  }
+
+  test("graft_match evaluates correctly without a registered index") {
+    val (tableDir, _) = setup
+    IndexRegistry.clear()
+    val t = spark.read.parquet(tableDir)
+    val got = t.where(graft_match(col("text"), "w5"))
+      .select("doc_id").as[Long].collect().toSet
+    val naive = t.where(array_contains(graft.text.Tokenize.col(col("text")), "w5"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    val plan = t.where(graft_match(col("text"), "w5"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("registered index rewrites graft_match into a semi-join, same results") {
+    val (tableDir, idxDir) = setup
+    IndexRegistry.clear()
+    IndexRegistry.register(tableDir, idxDir, "doc_id")
+    val t = spark.read.parquet(tableDir)
+    val q = t.where(graft_match(col("text"), "w5"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    val got = q.select("doc_id").as[Long].collect().toSet
+    val naive = t.where(array_contains(graft.text.Tokenize.col(col("text")), "w5"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    IndexRegistry.clear()
+  }
+
+  test("conjunction of graft_match terms plus residual predicate (AND = intersection)") {
+    val (tableDir, idxDir) = setup
+    IndexRegistry.clear()
+    IndexRegistry.register(tableDir, idxDir, "doc_id")
+    val t = spark.read.parquet(tableDir)
+    val q = t.where(graft_match(col("text"), "w5") &&
+      graft_match(col("text"), "w15") && col("doc_id") < 300)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert("LeftSemi".r.findAllIn(plan).size == 2, plan)
+    val toks = graft.text.Tokenize.col(col("text"))
+    val naive = t.where(array_contains(toks, "w5") &&
+        array_contains(toks, "w15") && col("doc_id") < 300)
+      .select("doc_id").as[Long].collect().toSet
+    assert(q.select("doc_id").as[Long].collect().toSet == naive)
+    assert(naive.nonEmpty)
+    IndexRegistry.clear()
+  }
+}
