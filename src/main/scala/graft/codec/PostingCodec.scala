@@ -56,9 +56,10 @@ object VarByte {
   * Layout (generalizes the reference's raw `Vec<u64>` posting lists,
   * /root/reference/src/storage/block.rs:92, into the delta + varbyte +
   * block-max form required for web scale):
-  *  - `docBytes`: first docID as absolute varbyte, then gaps (delta - 1 is
-  *    NOT used; gaps are `docId[i] - docId[i-1]`, always >= 1, stored as-is
-  *    so blocks decode independently).
+  *  - `docBytes`: self-describing (1-byte tag), first docID as absolute
+  *    varbyte, then gaps — either varbyte gaps or FOR bit-packed (gap-1 at
+  *    fixed width = bits(maxGap-1)), whichever is smaller per block. Blocks
+  *    decode independently either way.
   *  - `tfBytes`: term frequency per posting, varbyte.
   *  - `posBytes`: optional per-posting position list: varbyte count, then
   *    delta-encoded positions (first absolute, then gaps). Empty array when
@@ -83,6 +84,102 @@ final case class DecodedBlock(
 object PostingCodec {
   val BlockSize = 128
 
+  /** docBytes encodings (first byte of the blob). */
+  private val EncVarByte: Byte = 0
+  private val EncFor: Byte = 1
+
+  /** Frame-of-reference bit width for a gap set; capped so the packing
+    * accumulator (<= 7 carried bits + w new bits) fits in a Long.
+    */
+  private val MaxForBits = 56
+
+  private def bitsFor(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v | 1L)
+
+  /** Encode docIds of one block: absolute first docId varbyte, then gaps.
+    * Chooses per block between plain varbyte gaps and FOR bit-packing
+    * (fixed width = bits(maxGap-1)) — whichever is smaller. Self-describing
+    * via a 1-byte tag so blocks stay independently decodable.
+    */
+  private def encodeDocs(docIds: Array[Long], start: Int, end: Int): Array[Byte] = {
+    val n = end - start
+    // gaps-1 (gaps are >= 1)
+    var maxG = 0L
+    var vbSize = 0
+    var i = start + 1
+    while (i < end) {
+      val g = docIds(i) - docIds(i - 1)
+      require(g > 0, s"docIds must be strictly ascending: ${docIds(i)} after ${docIds(i - 1)}")
+      if (g - 1 > maxG) maxG = g - 1
+      vbSize += (63 - java.lang.Long.numberOfLeadingZeros(g | 1L)) / 7 + 1
+      i += 1
+    }
+    val w = bitsFor(maxG)
+    val forSize = 1 + ((n - 1).toLong * w + 7).toInt / 8
+    val useFor = n > 4 && w <= MaxForBits && forSize < vbSize
+    val out = new ArrayBuffer[Byte](forSize + 12)
+    out += (if (useFor) EncFor else EncVarByte)
+    VarByte.write(out, docIds(start))
+    if (useFor) {
+      out += w.toByte
+      var bitBuf = 0L
+      var bitCnt = 0
+      i = start + 1
+      while (i < end) {
+        val v = docIds(i) - docIds(i - 1) - 1
+        bitBuf |= v << bitCnt
+        bitCnt += w
+        while (bitCnt >= 8) {
+          out += bitBuf.toByte
+          bitBuf >>>= 8
+          bitCnt -= 8
+        }
+        i += 1
+      }
+      if (bitCnt > 0) out += bitBuf.toByte
+    } else {
+      i = start + 1
+      while (i < end) {
+        VarByte.write(out, docIds(i) - docIds(i - 1))
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  private def decodeDocs(bytes: Array[Byte], n: Int): Array[Long] = {
+    val docs = new Array[Long](n)
+    val enc = bytes(0)
+    val r = new VarByte.Reader(bytes)
+    r.pos = 1
+    docs(0) = r.read()
+    if (enc == EncFor) {
+      val w = bytes(r.pos) & 0xff
+      var pos = r.pos + 1
+      var bitBuf = 0L
+      var bitCnt = 0
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      var i = 1
+      while (i < n) {
+        while (bitCnt < w) {
+          bitBuf |= (bytes(pos) & 0xffL) << bitCnt
+          pos += 1
+          bitCnt += 8
+        }
+        docs(i) = docs(i - 1) + (bitBuf & mask) + 1L
+        bitBuf >>>= w
+        bitCnt -= w
+        i += 1
+      }
+    } else {
+      var i = 1
+      while (i < n) {
+        docs(i) = docs(i - 1) + r.read()
+        i += 1
+      }
+    }
+    docs
+  }
+
   /** Encode one posting run (a single term within a single segment) into
     * fixed-size blocks. `docIds` must be strictly ascending; `tfs` parallel;
     * `positions(i)` (may be null/empty when positions are disabled) must be
@@ -99,20 +196,12 @@ object PostingCodec {
     while (b < nBlocks) {
       val start = b * blockSize
       val end = math.min(start + blockSize, docIds.length)
-      val docBuf = new ArrayBuffer[Byte]((end - start) * 2)
+      val docBytes = encodeDocs(docIds, start, end)
       val tfBuf = new ArrayBuffer[Byte](end - start)
       val posBuf = new ArrayBuffer[Byte]()
       var maxTf = 0
       var i = start
-      var prev = 0L
       while (i < end) {
-        if (i == start) VarByte.write(docBuf, docIds(i))
-        else {
-          val gap = docIds(i) - prev
-          require(gap > 0, s"docIds must be strictly ascending: ${docIds(i)} after $prev")
-          VarByte.write(docBuf, gap)
-        }
-        prev = docIds(i)
         VarByte.write(tfBuf, tfs(i).toLong)
         if (tfs(i) > maxTf) maxTf = tfs(i)
         if (positions != null && positions(i) != null && positions(i).nonEmpty) {
@@ -130,7 +219,7 @@ object PostingCodec {
         i += 1
       }
       out(b) = PBlock(docIds(end - 1), maxTf, end - start,
-        docBuf.toArray, tfBuf.toArray, posBuf.toArray)
+        docBytes, tfBuf.toArray, posBuf.toArray)
       b += 1
     }
     out
@@ -138,15 +227,11 @@ object PostingCodec {
 
   /** Decode docIDs + tfs of one block (skips positions — the scoring path). */
   def decodeDocsTfs(blk: PBlock): (Array[Long], Array[Int]) = {
-    val docs = new Array[Long](blk.n)
+    val docs = decodeDocs(blk.docBytes, blk.n)
     val tfs = new Array[Int](blk.n)
-    val dr = new VarByte.Reader(blk.docBytes)
     val tr = new VarByte.Reader(blk.tfBytes)
     var i = 0
-    var prev = 0L
     while (i < blk.n) {
-      prev = if (i == 0) dr.read() else prev + dr.read()
-      docs(i) = prev
       tfs(i) = tr.read().toInt
       i += 1
     }

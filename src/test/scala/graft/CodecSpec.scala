@@ -84,11 +84,22 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("compression: dense postings cost ~1 byte per docId gap") {
+  test("compression: dense postings bit-pack to well under 1 byte per docId") {
     val docs = (0L until 10000L).toArray
     val tfs = Array.fill(10000)(1)
     val blocks = PostingCodec.encode(docs, tfs, null)
-    val bytes = blocks.map(b => b.docBytes.length + b.tfBytes.length).sum
-    assert(bytes < 10000 * 2 + blocks.length * 8, s"got $bytes bytes for 10k dense postings")
+    val docBytes = blocks.map(_.docBytes.length).sum
+    assert(docBytes < 10000 / 2, s"got $docBytes docId bytes for 10k dense postings")
+  }
+
+  test("FOR and varbyte paths round-trip identically across gap regimes") {
+    for ((maxGap, seed, n) <- Seq((1L, 1L, 500), (3L, 2L, 500), (200L, 3L, 500),
+        (1L << 30, 4L, 500), (1L << 55, 5L, 50))) {
+      val docs = seededDocs(seed, n, maxGap)
+      val tfs = docs.map(d => (d % 9 + 1).toInt)
+      val dec = PostingCodec.decodeRun(PostingCodec.encode(docs, tfs, null).toSeq)
+      assert(dec.docIds.sameElements(docs), s"maxGap=$maxGap")
+      assert(dec.tfs.sameElements(tfs), s"maxGap=$maxGap")
+    }
   }
 }
