@@ -64,13 +64,23 @@ object Compactor {
     val segs = IndexBuilder.readSegments(spark, dir, waves)
       .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
       .as[SegmentPosting]
+    val blockSize = m0.blockSize
     val merged = segs.groupByKey(sp => (sp.term, sp.segId))
       .mapGroups { (key: (String, Long), it: Iterator[SegmentPosting]) =>
         val (term, segId) = key
         val rs = it.toArray.sortBy(_.wave)
+        val blocks = rs.flatMap(_.blocks)
+        val df = rs.map(_.df).sum
+        // repack when wave boundaries left the run fragmented (avg fill
+        // below half a block): decode+re-encode restores full blocks so
+        // query-time block skipping stays effective after many appends
+        val repacked =
+          if (blocks.length > 1 && df < blocks.length.toLong * blockSize / 2) {
+            val d = graft.codec.PostingCodec.decodeRun(blocks.toSeq)
+            graft.codec.PostingCodec.encode(d.docIds, d.tfs, d.positions, blockSize)
+          } else blocks
         SegmentPosting(term, newWave, segId,
-          rs.map(_.df).sum, rs.map(_.tf).sum, rs.map(_.maxTf).max,
-          rs.flatMap(_.blocks))
+          df, rs.map(_.tf).sum, rs.map(_.maxTf).max, repacked)
       }
     merged.toDF().write.mode("overwrite").partitionBy("wave")
       .parquet(IndexBuilder.segmentsPath(dir) + s"/.tmpwave$newWave")

@@ -87,6 +87,21 @@ class BuildSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("head-term postings spread across segments: no single-task stopword list") {
+    val dir = scratch("skew")
+    IndexBuilder.build(spark, docs, dir, IndexOptions(docsPerSegment = 256))
+    val s = new Searcher(spark, dir)
+    // term0000 hits ~every doc under zipf — the stopword-skew path
+    val runs = s.postings(Seq("term0000")).collect()
+    assert(runs.length >= (N / 256).toInt,
+      s"head term must split into per-segment runs, got ${runs.length}")
+    assert(runs.forall(_.df <= 256), "no run may exceed docsPerSegment")
+    val total = runs.map(_.df).sum
+    val naive = docs.select(col("docId"))
+      .where(array_contains(Tokenize.col(col("text")), "term0000")).count()
+    assert(total == naive)
+  }
+
   test("resume: stale uncommitted wave data is cleaned and recommitted identically") {
     val dirA = scratch("resumeA")
     val dirB = scratch("resumeB")
