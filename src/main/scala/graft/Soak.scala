@@ -1,0 +1,82 @@
+package graft
+
+import graft.gen.Pages
+import graft.index._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale soak: multi-million-doc build + LSM append + tiered compaction +
+  * query latency at real multi-segment fan-out. Prints one JSON line.
+  * This is the "would it survive a 100x scale-up" evidence run — every
+  * mechanism (wave append discipline, ratio-4 merge, WAND over hundreds of
+  * segments, norms pruning) executes at the largest size the sandbox fits.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val total = sys.env.getOrElse("SPARK_GRAFT_SOAK_DOCS", "2000000").toLong
+    val wave0N = total * 3 / 4
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak").toString + "/idx"
+
+    def t[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // wave 0: pages [0, wave0N) — warc_ts is monotone in i, so splitting by
+    // generator index keeps wave time ranges disjoint (append discipline)
+    val p0 = Pages.generate(spark, wave0N, 32)
+    val d0 = IndexBuilder.assignDocIds(spark, p0, "url", 0L, 32)
+      .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
+    val (_, buildSec) = t(IndexBuilder.build(spark, d0, dir,
+      IndexOptions(docsPerSegment = 1L << 14, withPositions = true)))
+
+    // wave 1: pages [wave0N, total), docIds rebased above wave 0
+    val p1 = Pages.generate(spark, total, 32).where(col("warc_ts") >
+      p0.agg(max(col("warc_ts"))).head().getTimestamp(0))
+    val d1 = IndexBuilder.assignDocIds(spark, p1, "url", wave0N, 32)
+      .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
+    val (_, appendSec) = t(IndexBuilder.append(spark, d1, dir))
+
+    val (mc, compactSec) = t(Compactor.compact(spark, dir))
+    val s = new Searcher(spark, dir)
+    require(s.manifest.totalDocs == total,
+      s"doc count ${s.manifest.totalDocs} != $total")
+
+    // query mix over the zipf vocabulary: head / mid / tail
+    val sets = Seq(
+      Seq("term0000", "term0040"), Seq("term0040", "term0300", "term0700"),
+      Seq("term0700"), Seq("term0000", "term0700"), Seq("term0100", "term0200"))
+    val warm = s.bm25(sets.head, 10).count() // plan/codegen warmup
+    val lat = (0 until 15).map { i =>
+      val (n, sec) = t(s.bm25(sets(i % sets.size), 10).count())
+      require(n > 0, s"empty top-k for ${sets(i % sets.size)}")
+      sec * 1000
+    }.sorted
+    val (andN, andSec) = t(s.and(Seq("term0000", "term0040", "term0100")).count())
+    val (phraseN, phraseSec) = t(s.phrase(Seq("term0000", "term0001")).count())
+    val segCount = s.segments.count()
+    val idxBytes = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    }
+    println(
+      f"""{"soak_docs":$total,"waves_after_compact":${mc.waves.length},""" +
+        f""""build_sec":$buildSec%.1f,"append_sec":$appendSec%.1f,"compact_sec":$compactSec%.1f,""" +
+        f""""build_docs_per_sec":${wave0N / buildSec}%.0f,""" +
+        f""""segments":$segCount,"index_bytes":$idxBytes,""" +
+        f""""bytes_per_posting":${idxBytes.toDouble / mc.totalTokens}%.2f,""" +
+        f""""bm25_p50_ms":${lat(lat.size / 2)}%.0f,"bm25_max_ms":${lat.last}%.0f,""" +
+        f""""and_hits":$andN,"and_ms":${andSec * 1000}%.0f,""" +
+        f""""phrase_hits":$phraseN,"phrase_ms":${phraseSec * 1000}%.0f,"warm":$warm}""")
+    spark.stop()
+  }
+}

@@ -125,7 +125,8 @@ object IndexBuilder {
     val hasTs = docs.columns.contains("ts")
     val tsMillis = if (hasTs) unix_millis(col("ts")) else lit(0L)
     val base = docs.select(col("docId").cast(LongType).as("docId"),
-      col("key").cast(StringType).as("key"), col("text"),
+      col("key").cast(StringType).as("key"),
+      coalesce(col("text"), lit("")).as("text"), // null text = empty doc
       coalesce(tsMillis, lit(0L)).as("ts"))
 
     // ---- forward map + norms: dl without any explode/shuffle -------------
@@ -167,9 +168,17 @@ object IndexBuilder {
       .write.mode("overwrite").partitionBy("wave")
       .parquet(segmentsPath(dir) + s"/.tmpwave$wave")
     // partitionBy writes under .tmpwaveN/wave=N; move into place so all waves
-    // share one partitioned root without dynamic-overwrite semantics.
-    movePartition(spark, segmentsPath(dir) + s"/.tmpwave$wave/wave=$wave",
-      segmentsPath(dir) + s"/wave=$wave")
+    // share one partitioned root without dynamic-overwrite semantics. A
+    // zero-posting wave (empty/token-free corpus) produces no partition dir
+    // at all — write an explicit empty file so the wave stays readable.
+    val tmpPart = new org.apache.hadoop.fs.Path(
+      segmentsPath(dir) + s"/.tmpwave$wave/wave=$wave")
+    val fsSeg = tmpPart.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsSeg.exists(tmpPart))
+      movePartition(spark, tmpPart.toString, segmentsPath(dir) + s"/wave=$wave")
+    else
+      segDs.toDF().limit(0).drop("wave")
+        .write.mode("overwrite").parquet(segmentsPath(dir) + s"/wave=$wave")
     hadoopDelete(spark, segmentsPath(dir) + s"/.tmpwave$wave")
 
     // ---- wave stats: aggregated from per-segment norms metadata ----------

@@ -47,8 +47,12 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double): DataFrame = {
+    // materialize the shingle table once: it feeds both sides of the
+    // self-join plus the size table — recomputing tokenize+shingle 3x is
+    // pure waste (at cluster scale this persist is a staging-table write)
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(shingleCol(col(textCol), n))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy($("id")).agg(count(lit(1)).as("sz"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))

@@ -1,0 +1,76 @@
+package graft
+
+import graft.index._
+import graft.text.{HtmlText, Tokenize}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: the engine must never crash on real webtext
+  * (nulls, unicode, huge docs, all-empty corpora) — it may only lose
+  * non-[a-z0-9] tokens, which is tokenizer spec v1's documented contract.
+  */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenizer v1 on unicode/CJK/emoji: keeps ASCII alnum runs, never throws") {
+    assert(Tokenize.tokenizeScala("Hello, WORLD! 42x").toSeq == Seq("hello", "world", "42x"))
+    assert(Tokenize.tokenizeScala("café naïve").toSeq == Seq("caf", "na", "ve"))
+    assert(Tokenize.tokenizeScala("中文文本 abc").toSeq == Seq("abc"))
+    assert(Tokenize.tokenizeScala("😀 emoji😀mix").toSeq == Seq("emoji", "mix"))
+    assert(Tokenize.tokenizeScala("").isEmpty)
+    // column form agrees on the same inputs
+    val rows = Seq("Hello, WORLD! 42x", "café naïve",
+      "中文文本 abc", "").toDF("text")
+    val got = rows.select(Tokenize.col(col("text"))).as[Seq[String]].collect()
+    val want = Seq("Hello, WORLD! 42x", "café naïve",
+      "中文文本 abc", "").map(Tokenize.tokenizeScala(_).toSeq)
+    assert(got.map(_.toSeq).toSeq == want)
+  }
+
+  test("html extractor survives malformed markup") {
+    assert(HtmlText.extract("<p>unclosed") == "unclosed")
+    assert(HtmlText.extract("no tags at all") == "no tags at all")
+    assert(HtmlText.extract("<script>evil()</script>hi") == "hi")
+    assert(HtmlText.extract("a &amp; b &lt;c&gt;") == "a & b <c>")
+    assert(HtmlText.extract(Array.empty[Byte]) == "")
+  }
+
+  test("index build handles null text, empty corpus slices, and 1-doc corpora") {
+    val docs = Seq(
+      (0L, "k0", null.asInstanceOf[String]),
+      (1L, "k1", ""),
+      (2L, "k2", "only doc with words"),
+      (3L, "k3", "!!!???")).toDF("docId", "key", "text")
+    val dir = scratch("degenerate")
+    val m = IndexBuilder.build(spark, docs, dir, IndexOptions(docsPerSegment = 2))
+    assert(m.totalDocs == 4)
+    assert(m.totalTokens == 4)
+    val s = new Searcher(spark, dir)
+    assert(s.lookup("doc").count() == 1)
+    assert(s.bm25(Seq("only", "words"), 5).count() == 1)
+    // single-doc index
+    val dir1 = scratch("onedoc")
+    IndexBuilder.build(spark, Seq((0L, "k", "solo")).toDF("docId", "key", "text"), dir1)
+    assert(new Searcher(spark, dir1).lookup("solo").count() == 1)
+  }
+
+  test("empty corpus builds an empty but queryable index") {
+    val dir = scratch("empty")
+    val m = IndexBuilder.build(spark,
+      Seq.empty[(Long, String, String)].toDF("docId", "key", "text"), dir)
+    assert(m.totalDocs == 0)
+    val s = new Searcher(spark, dir)
+    assert(s.lookup("anything").count() == 0)
+    assert(s.bm25(Seq("anything"), 5).count() == 0)
+  }
+
+  test("huge single document round-trips (100k tokens)") {
+    val big = (0 until 100000).map(i => s"t${i % 5000}").mkString(" ")
+    val dir = scratch("bigdoc")
+    val m = IndexBuilder.build(spark,
+      Seq((0L, "big", big)).toDF("docId", "key", "text"), dir)
+    assert(m.totalTokens == 100000)
+    val s = new Searcher(spark, dir)
+    assert(s.lookup("t4999").count() == 1)
+    assert(s.phrase(Seq("t0", "t1")).count() == 1)
+  }
+}
