@@ -1,0 +1,96 @@
+package graft
+
+import graft.index._
+import graft.sources.CorpusSource
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry points (SURVEY.md §2.1 #26):
+  *
+  *   spark-submit --class graft.BuildIndex app.jar <tableSpec> <indexDir> \
+  *       [--append] [--docs-per-segment N] [--no-positions] [--compact]
+  *   spark-submit --class graft.QueryIndex app.jar <indexDir> \
+  *       <and|or|phrase|lookup|bm25> term [term ...] [--k N] \
+  *       [--from epochMs --to epochMs]
+  *
+  * tableSpec: `parquet:/path`, `iceberg:cat.db.tbl`, or `table:name`
+  * (CorpusSource). The input must be pages-shaped (url, warc_ts,
+  * html|text, ...); docIds are assigned deterministically.
+  */
+object CliSession {
+  def session(name: String): SparkSession = {
+    val b = SparkSession.builder().appName(name)
+      .config("spark.sql.session.timeZone", "UTC")
+    // local default for ad-hoc runs; spark-submit's --master wins if set
+    if (!sys.props.contains("spark.master") && sys.env.get("MASTER").isEmpty)
+      b.master("local[*]").config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors.toString)
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+object BuildIndex {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BuildIndex <tableSpec> <indexDir> [flags]")
+    val spec = args(0)
+    val dir = args(1)
+    val flags = args.drop(2)
+    def flagVal(name: String): Option[String] =
+      flags.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val spark = CliSession.session("graft-build")
+    val opts = IndexOptions(
+      docsPerSegment = flagVal("--docs-per-segment").map(_.toLong).getOrElse(1L << 20),
+      withPositions = !flags.contains("--no-positions"))
+    val pages = CorpusSource.load(spark, spec)
+    val append = flags.contains("--append")
+    val base = if (append) ManifestIO.read(dir).nextDocBase else 0L
+    val input = CorpusSource.pagesAsIndexInput(pages, assignIds = true, idBase = base)
+    val m = if (append) IndexBuilder.append(spark, input, dir)
+      else IndexBuilder.build(spark, input, dir, opts)
+    val m2 = if (flags.contains("--compact")) Compactor.compact(spark, dir) else m
+    val w = m2.waves.maxBy(_.wave)
+    println(s"committed wave ${w.wave}: ${w.numDocs} docs, " +
+      f"${w.docsPerSec}%.0f docs/sec, ${w.postingsPerSec}%.0f postings/sec; " +
+      s"index now ${m2.totalDocs} docs / ${m2.waves.size} wave(s)")
+    spark.stop()
+  }
+}
+
+object QueryIndex {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: QueryIndex <indexDir> <mode> term... [flags]")
+    val dir = args(0)
+    val mode = args(1)
+    val rest = args.drop(2)
+    val flagNames = Set("--k", "--from", "--to")
+    val terms = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < rest.length) {
+        if (flagNames(rest(i))) i += 2 else { buf += rest(i); i += 1 }
+      }
+      buf.toSeq
+    }
+    def flagVal(name: String): Option[String] =
+      rest.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val k = flagVal("--k").map(_.toInt).getOrElse(10)
+    val spark = CliSession.session("graft-query")
+    val base = new Searcher(spark, dir)
+    val s = (flagVal("--from"), flagVal("--to")) match {
+      case (Some(f), Some(t)) => base.inTimeRange(f.toLong, t.toLong)
+      case _ => base
+    }
+    val result = mode match {
+      case "lookup" => s.lookup(terms.head)
+      case "and" => s.and(terms.toSeq)
+      case "or" => s.or(terms.toSeq)
+      case "phrase" => s.phrase(terms.toSeq)
+      case "bm25" => s.bm25(terms.toSeq, k)
+      case other => sys.error(s"unknown mode $other")
+    }
+    result.show(k, truncate = false)
+    println(s"${result.count()} rows")
+    spark.stop()
+  }
+}

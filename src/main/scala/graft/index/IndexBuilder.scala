@@ -123,7 +123,9 @@ object IndexBuilder {
     val withPositions = opts.withPositions
 
     val hasTs = docs.columns.contains("ts")
-    val tsMillis = if (hasTs) unix_millis(col("ts")) else lit(0L)
+    // cast handles TIMESTAMP_NTZ parquet inputs (interpreted in the UTC
+    // session zone); a no-op for TIMESTAMP inputs
+    val tsMillis = if (hasTs) unix_millis(col("ts").cast(TimestampType)) else lit(0L)
     val base = docs.select(col("docId").cast(LongType).as("docId"),
       col("key").cast(StringType).as("key"),
       coalesce(col("text"), lit("")).as("text"), // null text = empty doc
