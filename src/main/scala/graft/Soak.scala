@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
 object Soak {
   def main(args: Array[String]): Unit = {
     val total = sys.env.getOrElse("SPARK_GRAFT_SOAK_DOCS", "2000000").toLong
+    val withPos = sys.env.getOrElse("SPARK_GRAFT_SOAK_POSITIONS", "1") == "1"
     val wave0N = total * 3 / 4
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -36,7 +37,7 @@ object Soak {
     val d0 = IndexBuilder.assignDocIds(spark, p0, "url", 0L, 32)
       .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
     val (_, buildSec) = t(IndexBuilder.build(spark, d0, dir,
-      IndexOptions(docsPerSegment = 1L << 14, withPositions = true)))
+      IndexOptions(docsPerSegment = 1L << 14, withPositions = withPos)))
 
     // wave 1: pages [wave0N, total), docIds rebased above wave 0
     val p1 = Pages.generate(spark, total, 32).where(col("warc_ts") >
@@ -61,7 +62,8 @@ object Soak {
       sec * 1000
     }.sorted
     val (andN, andSec) = t(s.and(Seq("term0000", "term0040", "term0100")).count())
-    val (phraseN, phraseSec) = t(s.phrase(Seq("term0000", "term0001")).count())
+    val (phraseN, phraseSec) =
+      if (withPos) t(s.phrase(Seq("term0000", "term0001")).count()) else (0L, 0.0)
     val segCount = s.segments.count()
     val idxBytes = {
       val p = new org.apache.hadoop.fs.Path(dir)

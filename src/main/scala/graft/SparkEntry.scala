@@ -305,6 +305,6 @@ object SparkEntry {
         "b AS (SELECT user_id, s, CASE WHEN prev IS NULL OR s - prev > 1800 THEN 1 ELSE 0 END AS brk FROM l), " +
         "sess AS (SELECT user_id, s, sum(brk) OVER (PARTITION BY user_id ORDER BY s " +
         "ROWS UNBOUNDED PRECEDING) AS sid FROM b) " +
-        "SELECT user_id, sid, count(*) AS n_events, max(s) - min(s) AS duration_sec " +
+        "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, CAST(max(s) - min(s) AS BIGINT) AS duration_sec " +
         "FROM sess GROUP BY user_id, sid"))
 }
