@@ -13,15 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * "indexed" when its scan location falls under a registered path.
   */
 object IndexRegistry {
-  final case class Entry(indexDir: String, idCol: String)
+  final case class Entry(indexDir: String, idCol: String, textCol: String)
   private val entries = scala.collection.concurrent.TrieMap.empty[String, Entry]
 
-  def register(tablePath: String, indexDir: String, idCol: String): Unit =
-    entries.put(normalize(tablePath), Entry(indexDir, idCol))
+  def register(tablePath: String, indexDir: String, idCol: String,
+      textCol: String = "text"): Unit =
+    entries.put(normalize(tablePath), Entry(indexDir, idCol, textCol))
   def clear(): Unit = entries.clear()
   def lookup(paths: Seq[String]): Option[Entry] =
     paths.map(normalize).flatMap(p => entries.collectFirst {
-      case (reg, e) if p.startsWith(reg) => e
+      // path-component prefix: /data/corpus must NOT match /data/corpus_v2
+      case (reg, e) if p == reg || p.startsWith(reg + "/") => e
     }).headOption
 
   private def normalize(p: String): String =
@@ -42,10 +44,18 @@ object IndexRegistry {
   */
 class IndexAccessRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def scanPaths(plan: LogicalPlan): Seq[String] = plan match {
+  /** The scanned relation (single-child chains only — a Filter above a
+    * Join/Union is never rewritten).
+    */
+  private def findRelation(plan: LogicalPlan): Option[LogicalRelation] = plan match {
+    case lr @ LogicalRelation(_: HadoopFsRelation, _, _, _, _) => Some(lr)
+    case p if p.children.size == 1 => findRelation(p.children.head)
+    case _ => None
+  }
+
+  private def scanPaths(rel: LogicalRelation): Seq[String] = rel match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       fs.location.rootPaths.map(_.toString)
-    case p if p.children.size == 1 => scanPaths(p.children.head)
     case _ => Nil
   }
 
@@ -56,35 +66,37 @@ class IndexAccessRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjuncts(cond)
-      val matches = conjuncts.collect {
-        case GraftMatch(_, Literal(t: UTF8String, _)) => t.toString
-      }
-      if (matches.isEmpty) f
-      else IndexRegistry.lookup(scanPaths(child)) match {
-        case None => f
-        case Some(entry) =>
-          child.output.find(_.name == entry.idCol) match {
-            case None => f
-            case Some(idAttr) =>
-              // residual predicates (non-graft_match conjuncts) stay in a
-              // Filter; each matched term becomes one semi-join with the
-              // index lookup (docIds of that term's posting list)
-              val searcher = new Searcher(spark, entry.indexDir)
-              val joined = matches.foldLeft(child) { (acc, term) =>
-                val lookupPlan = searcher.lookup(term)
-                  .queryExecution.analyzed
-                val docIdAttr = lookupPlan.output.head
-                Join(acc, lookupPlan, LeftSemi,
-                  Some(EqualTo(idAttr, docIdAttr)), JoinHint.NONE)
-              }
-              val residual = conjuncts.filterNot {
-                case GraftMatch(_, Literal(_, _)) => true
-                case _ => false
-              }
-              if (residual.isEmpty) joined
-              else Filter(residual.reduce(And), joined)
+      (for {
+        rel <- findRelation(child)
+        entry <- IndexRegistry.lookup(scanPaths(rel))
+        idAttr <- child.output.find(_.name == entry.idCol)
+        // the index was built over entry.textCol of THIS relation: only a
+        // graft_match whose text argument is that exact attribute (same
+        // exprId — i.e. passed through unmodified, not re-aliased by a
+        // Project) may be answered from the index
+        textAttr <- rel.output.find(_.name == entry.textCol)
+      } yield {
+        val conjuncts = splitConjuncts(cond)
+        val rewritable = conjuncts.collect {
+          case g @ GraftMatch(a: Attribute, Literal(t: UTF8String, _))
+              if a.exprId == textAttr.exprId => (g, t.toString)
+        }
+        if (rewritable.isEmpty) f
+        else {
+          // residual = every conjunct NOT rewritten (incl. graft_match on
+          // other columns, null-literal terms, non-literal terms)
+          val rewrittenSet = rewritable.map(_._1).toSet[Expression]
+          val searcher = new Searcher(spark, entry.indexDir)
+          val joined = rewritable.map(_._2).foldLeft(child) { (acc, term) =>
+            val lookupPlan = searcher.lookup(term).queryExecution.analyzed
+            val docIdAttr = lookupPlan.output.head
+            Join(acc, lookupPlan, LeftSemi,
+              Some(EqualTo(idAttr, docIdAttr)), JoinHint.NONE)
           }
-      }
+          val residual = conjuncts.filterNot(rewrittenSet.contains)
+          if (residual.isEmpty) joined
+          else Filter(residual.reduce(And), joined)
+        }
+      }).getOrElse(f)
   }
 }

@@ -26,8 +26,9 @@ import scala.collection.mutable.ArrayBuffer
   *    + streaming run-group encode in `mapPartitions` (≙ freeze,
   *    block.rs:389-405, but never materializing a posting list per term in
   *    one task);
-  *  - doc lengths computed as `size(tokens)` straight off the scan — no
-  *    second shuffle;
+  *  - the tokenized (doc -> entries) form is materialized once per wave
+  *    and feeds the forward map, norms, and postings jobs (deterministic
+  *    across jobs and task retries; no re-tokenization);
   *  - manifest committed last (fixes the reference's write-loss TODO,
   *    storage.rs:345-348).
   *
@@ -131,10 +132,21 @@ object IndexBuilder {
       coalesce(col("text"), lit("")).as("text"), // null text = empty doc
       coalesce(tsMillis, lit(0L)).as("ts"))
 
-    // ---- forward map + norms: dl without any explode/shuffle -------------
-    val docdl = base.select($"docId", $"key",
-      size(Tokenize.col($"text")).cast(IntegerType).as("dl"), $"ts",
-      ($"docId" / lit(dps)).cast(LongType).as("segId"))
+    // ---- tokenize ONCE: (term -> tf, positions) per doc, persisted for
+    // the wave so the forward-map, norms, and postings jobs all consume the
+    // same materialized rows (deterministic across jobs/retries, and the
+    // corpus is not re-tokenized per consumer). ≙ the reference memtable:
+    // rows are converted to index form exactly once (block.rs:372-387).
+    val entries = base.select($"docId", $"key", $"ts",
+      ($"docId" / lit(dps)).cast(LongType).as("segId"),
+      termEntriesUdf(withPositions)($"text").as("es"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- forward map + norms: dl = sum of tfs, no re-tokenize ------------
+    val docdl = entries.select($"docId", $"key",
+      coalesce(aggregate($"es", lit(0), (acc, e) => acc + e.getField("tf")),
+        lit(0)).cast(IntegerType).as("dl"),
+      $"ts", $"segId")
 
     docdl.select($"docId", $"key", $"dl", $"ts")
       .repartitionByRange(col("docId")).sortWithinPartitions("docId")
@@ -147,19 +159,13 @@ object IndexBuilder {
     normsDs.toDF().drop("wave") // wave comes back as the partition dir column
       .write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave")
 
-    // ---- postings --------------------------------------------------------
-    // Per-doc local aggregation (term -> tf, positions) BEFORE any shuffle —
-    // exactly the reference memtable's row->index conversion
-    // (/root/reference/src/storage/block.rs:372-387). This replaces a full
-    // `explode + groupBy(term, docId)` shuffle of one row per token with a
-    // single shuffle of one row per distinct (doc, term): at web scale the
-    // dominant cost is that first shuffle, and tf/positions are computable
-    // doc-locally because a doc lives in one row.
-    val tfpos = base
-      .select($"docId", explode(termEntriesUdf(withPositions)($"text")).as("e"))
+    // ---- postings: one row per distinct (doc, term) into the single
+    // shuffle (repartition by term+segId) — no per-token exchange exists
+    // anywhere in the pipeline.
+    val tfpos = entries
+      .select($"docId", $"segId", explode($"es").as("e"))
       .select($"e.term".as("term"), $"docId", $"e.tf".as("tf"),
-        $"e.positions".as("positions"),
-        ($"docId" / lit(dps)).cast(LongType).as("segId"))
+        $"e.positions".as("positions"), $"segId")
 
     val segDs: Dataset[SegmentPosting] = tfpos
       .repartition(col("term"), col("segId"))
@@ -213,6 +219,7 @@ object IndexBuilder {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
+    entries.unpersist()
     val sec = (System.nanoTime() - t0) / 1e9
     WaveInfo(wave, numDocs, totalTokens, minDocId, maxDocId, minTs, maxTs,
       sec, numDocs / sec, postings / sec)
@@ -334,7 +341,12 @@ object IndexBuilder {
       base: Long = 0L, numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val parted = df.repartition(n, col(orderCol)).sortWithinPartitions(orderCol)
+    // sort on ALL columns (order key first): duplicate order-key values
+    // (e.g. recrawled urls) would otherwise have shuffle-fetch-dependent
+    // order, making docId-to-row binding nondeterministic across the jobs
+    // and task retries that consume this output
+    val sortCols = col(orderCol) +: df.columns.filter(_ != orderCol).map(col).toSeq
+    val parted = df.repartition(n, col(orderCol)).sortWithinPartitions(sortCols: _*)
     val counts = parted.groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = new Array[Long](n)

@@ -222,9 +222,9 @@ class Searcher(val spark: SparkSession, val dir: String,
     val prunedNorms =
       if (expectedDocs / math.max(1, manifest.docsPerSegment) < segLimit) {
         val touched = postings(presentSeq)
-          .select("wave", "segId").distinct().collect()
+          .select("wave", "segId").distinct().limit(segLimit + 1).collect()
           .map(r => (r.getInt(0), r.getLong(1)))
-        if (touched.length < segLimit) {
+        if (touched.length <= segLimit) {
           val segIds = touched.map(_._2).distinct.toSeq
           val waves2 = touched.map(_._1).distinct.toSeq
           IndexBuilder.readNorms(spark, dir, waves2.intersect(waves))

@@ -162,6 +162,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, seed: Long = 42L): DataFrame = {
+    require(maxDist <= 3,
+      s"4-band/16-bit blocking only guarantees recall for maxDist <= 3 (got $maxDist)")
     val sh = df.select(col(idCol).as("id"),
       simhash(seed)(tokens(col(textCol))).as("sh"))
     val banded = sh.select(col("id"), col("sh"),

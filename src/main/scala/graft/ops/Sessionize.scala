@@ -57,9 +57,10 @@ object Sessionize {
 
   case class SessState(sid: Long, start: Long, last: Long, n: Long)
 
-  /** Streaming sessionization over a watermarked event stream: state per
-    * user, session emitted when the gap elapses (processing-time timeout
-    * used in the sandbox smoke; event-time watermark drives lateness).
+  /** Streaming sessionization: state per user; a session closes (and is
+    * emitted) when a new event arrives past the gap OR when the
+    * processing-time timeout fires with no new events — so idle users'
+    * final sessions drain instead of being held (and leaked) forever.
     */
   def streaming(events: Dataset[SessionEvent], gapSec: Long = DefaultGapSec)
       : Dataset[SessionOut] = {
@@ -67,22 +68,31 @@ object Sessionize {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessState]) =>
-          // micro-batch arrival order is not time order: sort batch locally
-          val evs = it.toArray.sortBy(_.tsSec)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue, 0L))
-          evs.foreach { e =>
-            if (st.last == Long.MinValue || e.tsSec - st.last > gapSec) {
-              if (st.n > 0) out += SessionOut(uid, st.sid, st.n, st.last - st.start)
-              st = SessState(st.sid + 1, e.tsSec, e.tsSec, 1L)
-            } else {
-              st = st.copy(last = math.max(st.last, e.tsSec), n = st.n + 1)
+          if (state.hasTimedOut) {
+            // gap elapsed with no new input: close + clear
+            val st = state.get
+            state.remove()
+            if (st.n > 0) Iterator.single(SessionOut(uid, st.sid, st.n, st.last - st.start))
+            else Iterator.empty
+          } else {
+            // micro-batch arrival order is not time order: sort batch locally
+            val evs = it.toArray.sortBy(_.tsSec)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue, 0L))
+            evs.foreach { e =>
+              if (st.last == Long.MinValue || e.tsSec - st.last > gapSec) {
+                if (st.n > 0) out += SessionOut(uid, st.sid, st.n, st.last - st.start)
+                st = SessState(st.sid + 1, e.tsSec, e.tsSec, 1L)
+              } else {
+                st = st.copy(last = math.max(st.last, e.tsSec), n = st.n + 1)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(gapSec * 1000L)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

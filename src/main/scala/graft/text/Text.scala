@@ -11,26 +11,31 @@ import org.apache.spark.sql.functions._
   * text per url") requires it to be a pure function with no locale / regex
   * engine nondeterminism.
   *
-  * Spec v1: lowercase (simple case folding via `lower`), then split on runs
-  * of characters outside [a-z0-9], drop empty tokens. Expressed with
-  * Catalyst built-ins (`lower`/`split`/`filter`) so the hot path stays
-  * inside whole-stage codegen; `tokenizeScala` is the executor-side /
-  * test-side twin with identical semantics (Java regex on ASCII classes
-  * matches RE2 used by the DuckDB oracle for this pattern).
+  * Spec v1: split on runs of characters outside [a-zA-Z0-9], drop empty
+  * tokens, THEN lowercase each token. Tokens are pure ASCII by
+  * construction, so the lowercasing is locale-independent everywhere —
+  * splitting *after* a full-string `lower` would instead route non-ASCII
+  * input through locale-sensitive case mapping (e.g. Turkish dotted-I) and
+  * let the Column and Scala paths diverge across JVMs. Expressed with
+  * Catalyst built-ins (`split`/`filter`/`transform`/`lower`) so the hot
+  * path stays inside whole-stage codegen; `tokenizeScala` is the
+  * executor-side / test-side twin with identical semantics (Java regex on
+  * ASCII classes matches RE2 used by the DuckDB oracle for this pattern).
   */
 object Tokenize {
   val Version = "v1"
-  val SplitPattern = "[^a-z0-9]+"
+  val SplitPattern = "[^a-zA-Z0-9]+"
 
   /** Column form — stays in codegen; array of non-empty tokens in order. */
   def col(c: Column): Column =
-    filter(split(lower(c), SplitPattern), t => length(t) > 0)
+    transform(filter(split(c, SplitPattern), t => length(t) > 0), t => lower(t))
 
   private val compiled = java.util.regex.Pattern.compile(SplitPattern)
 
   /** Pure-Scala twin of [[col]]: identical output for any input. */
   def tokenizeScala(s: String): Array[String] =
-    compiled.split(s.toLowerCase(java.util.Locale.ROOT), -1).filter(_.nonEmpty)
+    compiled.split(s, -1).filter(_.nonEmpty)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
 }
 
 /** Deterministic html -> text extraction (spec v1).

@@ -58,6 +58,30 @@ class RuleSpec extends SparkSpec {
     IndexRegistry.clear()
   }
 
+  test("graft_match on a NON-indexed column is not rewritten (stays correct)") {
+    val docs = (0L until 100L)
+      .map(i => (i, s"title$i w${i % 5}", s"w${i % 37} body"))
+      .toDF("doc_id", "title", "text")
+    val tableDir = scratch("rule-title-table")
+    docs.write.mode("overwrite").parquet(tableDir)
+    val idxDir = scratch("rule-title-idx")
+    IndexBuilder.build(spark,
+      docs.selectExpr("doc_id AS docId", "CAST(doc_id AS STRING) AS key", "text"),
+      idxDir, IndexOptions(docsPerSegment = 128))
+    IndexRegistry.clear()
+    IndexRegistry.register(tableDir, idxDir, "doc_id", textCol = "text")
+    val t = spark.read.parquet(tableDir)
+    // index is over `text`; a match on `title` must evaluate natively
+    val q = t.where(graft_match(col("title"), "w3"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    val naive = t.where(array_contains(graft.text.Tokenize.col(col("title")), "w3"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(q.select("doc_id").as[Long].collect().toSet == naive && naive.nonEmpty)
+    // sibling path sharing a name prefix must not be treated as indexed
+    assert(IndexRegistry.lookup(Seq(tableDir + "_v2")).isEmpty)
+    IndexRegistry.clear()
+  }
+
   test("conjunction of graft_match terms plus residual predicate (AND = intersection)") {
     val (tableDir, idxDir) = setup
     IndexRegistry.clear()
