@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 final case class SessionEvent(user_id: Long, tsSec: Long, value: Double)
+final case class WatermarkedEvent(user_id: Long, tsSec: Long, value: Double,
+    ts: java.sql.Timestamp)
 final case class SessionOut(user_id: Long, sid: Long, n_events: Long,
     duration_sec: Long)
 
@@ -58,20 +60,42 @@ object Sessionize {
   case class SessState(sid: Long, start: Long, last: Long, n: Long)
 
   /** Streaming sessionization: state per user; a session closes (and is
-    * emitted) when a new event arrives past the gap OR when the
-    * processing-time timeout fires with no new events — so idle users'
-    * final sessions drain instead of being held (and leaked) forever.
+    * emitted) when a new event arrives past the gap OR when the event-time
+    * watermark passes `last + gap` — so idle users' final sessions drain
+    * deterministically instead of being held (and leaked) forever.
+    *
+    * Event-time (NOT processing-time) timeouts are load-bearing twice over:
+    * with processing-time timeouts registered Spark's
+    * `shouldRunAnotherBatch` is permanently true, so the query spins empty
+    * micro-batches forever (`processAllAvailable` never returns), and the
+    * emitted output depends on wall clock. With event-time timeouts the
+    * query re-batches only while the watermark advances, terminates, and
+    * the output is a pure function of the input.
+    *
+    * Input: a streaming DataFrame with (user_id, ts TIMESTAMP, value);
+    * `watermarkDelay` is the allowed event lateness.
     */
-  def streaming(events: Dataset[SessionEvent], gapSec: Long = DefaultGapSec)
-      : Dataset[SessionOut] = {
+  def streaming(events: DataFrame, gapSec: Long = DefaultGapSec,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+      // keep the watermarked ts column through the grouping: projecting it
+      // away detaches the watermark and Spark rejects EventTimeTimeout
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsSec"),
+        col("value"), col("ts"))
+      .as[WatermarkedEvent]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessState]) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it0: Iterator[WatermarkedEvent], state: GroupState[SessState]) =>
+          val it = it0.map(w => SessionEvent(w.user_id, w.tsSec, w.value))
           if (state.hasTimedOut) {
-            // gap elapsed with no new input: close + clear
+            // watermark passed last+gap with no new input: close + clear
             val st = state.get
             state.remove()
             if (st.n > 0) Iterator.single(SessionOut(uid, st.sid, st.n, st.last - st.start))
@@ -90,7 +114,10 @@ object Sessionize {
               }
             }
             state.update(st)
-            state.setTimeoutDuration(gapSec * 1000L)
+            // fire when the watermark passes the session gap; timeout must be
+            // strictly above the current watermark (late-arriving groups)
+            state.setTimeoutTimestamp(math.max((st.last + gapSec) * 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
       }

@@ -51,29 +51,44 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stateful streaming sessionization matches batch (closed sessions)") {
-    import graft.ops.{SessionEvent, Sessionize}
+    import graft.ops.Sessionize
     val path = "/root/testdata/sf0.001/events.parquet"
+    val gap = Sessionize.DefaultGapSec
     val batchSessions = Sessionize.batch(spark.read.parquet(path))
       .collect().toSet
-    // stream the same file; flatMapGroupsWithState emits only CLOSED
-    // sessions, so compare against batch minus each user's final session
+    // stream the same file; flatMapGroupsWithState with EventTimeTimeout
+    // emits sessions closed by a newer event AND sessions whose
+    // (last + gap) fell behind the final watermark. Expected set is exact:
+    // batch minus the final sessions the watermark never reached.
     val schema = spark.read.parquet(path).schema
     val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-src")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       srcDir.resolve("events.parquet"))
     val events = spark.readStream.schema(schema).parquet(srcDir.toString)
-      .select(col("user_id").cast("long"),
-        unix_timestamp(col("ts").cast("timestamp")).as("tsSec"),
-        col("value").cast("double"))
-      .as[SessionEvent]
     val q = Sessionize.streaming(events).writeStream
       .outputMode("append").format("memory").queryName("sess_out").start()
-    try q.processAllAvailable() finally q.stop()
+    // hard bound: with ProcessingTimeTimeout this used to spin forever —
+    // never let a regression wedge the whole suite again
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    try Await.result(Future(q.processAllAvailable()), 180.seconds)
+    finally q.stop()
     val streamed = spark.table("sess_out")
       .as[graft.ops.SessionOut].collect().toSet
-    val lastPerUser = batchSessions.groupBy(_.user_id)
-      .map { case (_, ss) => ss.maxBy(_.sid) }.toSet
-    assert(streamed == batchSessions -- lastPerUser)
+    // final watermark = max event time (delay 0s); a final session fires
+    // iff (lastSec + gap) * 1000 + 1 < watermarkMs (strict, Spark semantics)
+    val wmMs = spark.read.parquet(path)
+      .agg(max(unix_millis(col("ts").cast("timestamp")))).head().getLong(0)
+    val lastSecPerUser = spark.read.parquet(path)
+      .groupBy(col("user_id").cast("long").as("u"))
+      .agg(max(unix_timestamp(col("ts").cast("timestamp"))).as("lastSec"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unfiredFinal = batchSessions.groupBy(_.user_id)
+      .map { case (_, ss) => ss.maxBy(_.sid) }
+      .filter(s => (lastSecPerUser(s.user_id) + gap) * 1000L + 1L >= wmMs)
+      .toSet
+    assert(streamed == batchSessions -- unfiredFinal)
     assert(streamed.nonEmpty)
   }
 
