@@ -199,21 +199,36 @@ object PostingCodec {
       val docBytes = encodeDocs(docIds, start, end)
       val tfBuf = new ArrayBuffer[Byte](end - start)
       val posBuf = new ArrayBuffer[Byte]()
+      // decodeBlock reads one varbyte count PER posting whenever posBytes is
+      // non-empty — so if ANY posting in this block carries positions, every
+      // position-less posting must still write an explicit 0 count, or the
+      // stream misaligns and decodes garbage
+      var blockHasPos = false
+      if (positions != null) {
+        var i0 = start
+        while (!blockHasPos && i0 < end) {
+          if (positions(i0) != null && positions(i0).nonEmpty) blockHasPos = true
+          i0 += 1
+        }
+      }
       var maxTf = 0
       var i = start
       while (i < end) {
         VarByte.write(tfBuf, tfs(i).toLong)
         if (tfs(i) > maxTf) maxTf = tfs(i)
-        if (positions != null && positions(i) != null && positions(i).nonEmpty) {
+        if (blockHasPos) {
           val ps = positions(i)
-          VarByte.write(posBuf, ps.length.toLong)
-          var j = 0
-          var pprev = 0
-          while (j < ps.length) {
-            if (j == 0) VarByte.write(posBuf, ps(j).toLong)
-            else VarByte.write(posBuf, (ps(j) - pprev).toLong)
-            pprev = ps(j)
-            j += 1
+          if (ps == null || ps.isEmpty) VarByte.write(posBuf, 0L)
+          else {
+            VarByte.write(posBuf, ps.length.toLong)
+            var j = 0
+            var pprev = 0
+            while (j < ps.length) {
+              if (j == 0) VarByte.write(posBuf, ps(j).toLong)
+              else VarByte.write(posBuf, (ps(j) - pprev).toLong)
+              pprev = ps(j)
+              j += 1
+            }
           }
         }
         i += 1

@@ -58,6 +58,26 @@ object Compactor {
     val m0 = ManifestIO.read(dir)
     val byId = m0.waves.map(w => w.wave -> w).toMap
     require(waves.forall(byId.contains), s"unknown waves: $waves")
+    // the selected waves' docId span must not interleave with any surviving
+    // wave: the merged wave gets id max+1, and every reader (mergeRunDocs /
+    // mergeRunFull / blocks-concat here) relies on "higher wave id => higher
+    // docId range" to concatenate runs without re-sorting. A non-contiguous
+    // merge (e.g. oldest+newest around a surviving middle wave) would break
+    // that invariant silently.
+    locally {
+      val sel = waves.map(byId).filter(_.numDocs > 0)
+      if (sel.nonEmpty) {
+        val lo = sel.map(_.minDocId).min
+        val hi = sel.map(_.maxDocId).max
+        val interleaved = m0.waves
+          .filterNot(w => waves.contains(w.wave))
+          .filter(w => w.numDocs > 0 && w.minDocId <= hi && w.maxDocId >= lo)
+        require(interleaved.isEmpty,
+          s"selected waves $waves span docIds [$lo,$hi] which interleaves " +
+            s"with surviving wave(s) ${interleaved.map(_.wave).mkString(",")}: " +
+            "merge only docId-contiguous wave sets")
+      }
+    }
     val newWave = m0.waves.map(_.wave).max + 1
 
     // --- segments: concat blocks per (term, segId) in wave order ----------
@@ -137,13 +157,14 @@ object Compactor {
       docsPerSec = olds.map(_.numDocs).sum / sec,
       postingsPerSec = 0.0)
     val m1 = m0.copy(waves = m0.waves.filterNot(w => waves.contains(w.wave)) :+ wi)
-    IndexBuilder.rebuildTermStats(spark, dir, m1)
+    IndexBuilder.writeWaveTermStats(spark, dir, newWave)
     ManifestIO.write(dir, m1)
     // old wave data no longer referenced; reclaim
     waves.foreach { w =>
       del(spark, IndexBuilder.segmentsPath(dir) + s"/wave=$w")
       del(spark, IndexBuilder.normsPath(dir) + s"/wave=$w")
       del(spark, IndexBuilder.docmetaPath(dir) + s"/wave=$w")
+      del(spark, IndexBuilder.termstatsPath(dir) + s"/wave=$w")
     }
     m1
   }

@@ -69,11 +69,13 @@ class IndexAccessRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (for {
         rel <- findRelation(child)
         entry <- IndexRegistry.lookup(scanPaths(rel))
-        idAttr <- child.output.find(_.name == entry.idCol)
-        // the index was built over entry.textCol of THIS relation: only a
-        // graft_match whose text argument is that exact attribute (same
-        // exprId — i.e. passed through unmodified, not re-aliased by a
-        // Project) may be answered from the index
+        // BOTH columns must be the relation's own attributes passed through
+        // unmodified (same exprId). Matching the id column by name alone
+        // would let a Project like select((doc_id+1).as("doc_id"), text)
+        // semi-join the TRANSFORMED value against index docIds — silently
+        // wrong rows where the un-rewritten predicate is correct.
+        idAttrRel <- rel.output.find(_.name == entry.idCol)
+        idAttr <- child.output.find(_.exprId == idAttrRel.exprId)
         textAttr <- rel.output.find(_.name == entry.textCol)
       } yield {
         val conjuncts = splitConjuncts(cond)

@@ -89,7 +89,7 @@ object IndexBuilder {
       opts.blockSize, opts.withPositions, Nil)
     val w = buildWave(spark, docs, dir, 0, opts, enforceBase = None, enforceMinTs = None)
     val m = m0.copy(waves = List(w))
-    rebuildTermStats(spark, dir, m)
+    writeWaveTermStats(spark, dir, 0)
     ManifestIO.write(dir, m)
     m
   }
@@ -101,14 +101,17 @@ object IndexBuilder {
     val wave = if (m0.waves.isEmpty) 0 else m0.waves.map(_.wave).max + 1
     // Clean any stale (uncommitted) data for this wave id before writing:
     // data-then-manifest ordering makes this safe on resume.
-    Seq(segmentsPath(dir), normsPath(dir), docmetaPath(dir)).foreach { p =>
+    Seq(segmentsPath(dir), normsPath(dir), docmetaPath(dir),
+        termstatsPath(dir)).foreach { p =>
       hadoopDelete(spark, s"$p/wave=$wave")
     }
     val prevMaxTs = m0.waves.map(_.maxTs).filter(_ != 0L).maxOption
     val w = buildWave(spark, docs, dir, wave, opts,
       enforceBase = Some(m0.nextDocBase), enforceMinTs = prevMaxTs)
     val m = m0.copy(waves = m0.waves :+ w)
-    rebuildTermStats(spark, dir, m)
+    // incremental: only the NEW wave's stats are computed and written —
+    // committed waves' stats files are untouched (O(wave) append cost)
+    writeWaveTermStats(spark, dir, wave)
     ManifestIO.write(dir, m)
     m
   }
@@ -298,22 +301,39 @@ object IndexBuilder {
       }
     }
 
-  /** Rebuild global term statistics from all committed segments. Reads only
-    * the (term, df, tf, maxTf) columns — Parquet column pruning keeps the
-    * posting blobs on disk. Range-partitioned + sorted by term so query-time
-    * lookups hit row-group min/max skipping.
+  /** Write PER-WAVE term statistics for one committed wave. Stats are kept
+    * per wave (like the reference's per-block header metadata, never a
+    * global table — block.rs:26-37): an append touches only the new wave's
+    * segments, O(wave) not O(vocabulary x waves), so streaming ingest that
+    * commits a wave per micro-batch never pays a full-corpus stats rebuild.
+    * Query-time lookups read the few matching rows of each visible wave
+    * (term-sorted files -> row-group skipping) and sum df/tf / max maxTf
+    * across waves (Searcher.termStats).
+    *
+    * Reads only the (term, df, tf, maxTf) columns — Parquet column pruning
+    * keeps the posting blobs on disk.
     */
-  private[index] def rebuildTermStats(spark: SparkSession, dir: String,
-      m: IndexManifest): Unit = {
+  private[index] def writeWaveTermStats(spark: SparkSession, dir: String,
+      wave: Int): Unit = {
     import spark.implicits._
-    val segs = readSegments(spark, dir, m.waveIds)
+    val segs = readSegments(spark, dir, Seq(wave))
     val stats = segs.select($"term", $"df", $"tf", $"maxTf")
       .groupBy($"term")
       .agg(sum($"df").as("df"), sum($"tf").as("tf"), max($"maxTf").as("maxTf"))
     val out = stats.repartitionByRange(col("term")).sortWithinPartitions("term")
-    out.write.mode("overwrite").parquet(termstatsPath(dir) + ".tmp")
-    movePartition(spark, termstatsPath(dir) + ".tmp", termstatsPath(dir))
+    out.write.mode("overwrite").parquet(termstatsPath(dir) + s"/.tmpwave$wave")
+    movePartition(spark, termstatsPath(dir) + s"/.tmpwave$wave",
+      termstatsPath(dir) + s"/wave=$wave")
   }
+
+  def readTermStats(spark: SparkSession, dir: String, waves: Seq[Int]): DataFrame = {
+    val df = spark.read.parquet(termstatsPath(dir))
+    df.where(col("wave").isin(waves: _*))
+  }
+
+  private[index] def deleteWaveTermStats(spark: SparkSession, dir: String,
+      wave: Int): Unit =
+    hadoopDelete(spark, termstatsPath(dir) + s"/wave=$wave")
 
   /** Committed-waves segment scan (wave is a partition column -> pruning). */
   def readSegments(spark: SparkSession, dir: String, waves: Seq[Int]): DataFrame = {

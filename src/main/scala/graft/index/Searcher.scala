@@ -70,15 +70,21 @@ class Searcher(val spark: SparkSession, val dir: String,
     new java.util.concurrent.ConcurrentHashMap[String, Option[TermStats]]()
 
   /** Global stats for query terms — a driver-side lookup of index *metadata*
-    * (few rows, pushdown on the sorted termstats table), memoized per term
-    * so repeated queries over a Searcher pay no lookup job (≙ the
-    * reference's lazily-cached posting handles, block.rs:279-292).
+    * (few rows, term pushdown into each wave's term-sorted stats file),
+    * memoized per term so repeated queries over a Searcher pay no lookup job
+    * (≙ the reference's lazily-cached posting handles, block.rs:279-292).
+    * Stats are stored PER WAVE (appends never rewrite committed stats);
+    * the per-term aggregate over visible waves happens here, over O(waves)
+    * rows per term.
     */
   def termStats(terms: Seq[String]): Map[String, TermStats] = {
     val missing = terms.filterNot(statsCache.containsKey)
     if (missing.nonEmpty) {
-      val fetched = spark.read.parquet(IndexBuilder.termstatsPath(dir))
+      val fetched = IndexBuilder.readTermStats(spark, dir, waves)
         .where(col("term").isin(missing: _*))
+        .groupBy(col("term"))
+        .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"),
+          max(col("maxTf")).as("maxTf"))
         .as[TermStats].collect().map(t => t.term -> t).toMap
       missing.foreach(t => statsCache.put(t, fetched.get(t)))
     }
@@ -88,6 +94,33 @@ class Searcher(val spark: SparkSession, val dir: String,
   private def emptyDocIds: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("docId", LongType, nullable = false))))
+
+  /** Resolve docIds in a query result back to their document identity
+    * (url/key + timestamp) via the forward map — the reference's
+    * keys/timestamps columns (/root/reference/src/storage/block.rs:90-91;
+    * `from_block` returns keys, tests/storage.rs:61-80). A real user's
+    * first ask after any query is "give me the URLs of these docIds".
+    *
+    * Small result sets (top-k, tag lookups) push the id set INTO the
+    * docmeta scan: docmeta is range-partitioned + sorted by docId, so the
+    * `isin` predicate becomes parquet row-group skipping — O(ids) I/O, not
+    * a full forward-map read. Larger results fall back to a shuffle join
+    * (which they genuinely need).
+    */
+  def resolve(results: DataFrame, idCol: String = "docId",
+      broadcastLimit: Int = 4096): DataFrame = {
+    val meta = docMeta.select(col("docId").as("__rid"), col("key"), col("ts"))
+    val ids = results.select(col(idCol).cast("long"))
+      .limit(broadcastLimit + 1).collect().map(_.getLong(0))
+    val joined =
+      if (ids.length <= broadcastLimit)
+        results.join(
+          broadcast(meta.where(col("__rid").isin(ids.toSeq: _*))),
+          results(idCol) === col("__rid"), "left")
+      else
+        results.join(meta, results(idCol) === col("__rid"), "left")
+    joined.drop("__rid")
+  }
 
   /** Single-term lookup: decode + emit docIds. No shuffle at all. */
   def lookup(term: String): DataFrame =

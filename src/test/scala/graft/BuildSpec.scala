@@ -156,4 +156,53 @@ class BuildSpec extends SparkSpec {
     // disjoint range -> nothing
     assert(s.inTimeRange(0L, w0.minTs - 1).visibleWaves.isEmpty)
   }
+
+  test("append does O(wave) stats work: committed wave stats files untouched") {
+    val dir = scratch("incstats")
+    val big = (0L until 1000L).map(i => (i, s"k$i", s"t${i % 80} common x${i % 7}"))
+      .toDF("docId", "key", "text")
+    val tiny = (1000L until 1010L).map(i => (i, s"k$i", s"t${i % 80} fresh"))
+      .toDF("docId", "key", "text")
+    IndexBuilder.build(spark, big, dir, IndexOptions(docsPerSegment = 128))
+    def statFiles(wave: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"${IndexBuilder.termstatsPath(dir)}/wave=$wave")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = statFiles(0)
+    assert(before.nonEmpty)
+    IndexBuilder.append(spark, tiny, dir)
+    // incremental: wave-0 stats bytes are never rewritten by an append
+    assert(statFiles(0) == before)
+    // and the aggregated per-term view equals a full recompute from segments
+    val s2 = new Searcher(spark, dir)
+    val terms = Seq("common", "fresh", "t3")
+    val fromSegs = IndexBuilder.readSegments(spark, dir, s2.visibleWaves)
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"),
+        max(col("maxTf")).as("maxTf"))
+      .as[TermStats].collect().map(t => t.term -> t).toMap
+    assert(s2.termStats(terms) == fromSegs)
+    assert(s2.termStats(Seq("fresh"))("fresh").df == 10L)
+  }
+
+  test("non-contiguous wave merge is rejected (docId-range interleave guard)") {
+    val dir = scratch("contig")
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"k$i", s"w${i % 20} body")).toDF("docId", "key", "text")
+    IndexBuilder.build(spark, slice(0, 100), dir, IndexOptions(docsPerSegment = 64))
+    IndexBuilder.append(spark, slice(100, 200), dir)
+    IndexBuilder.append(spark, slice(200, 300), dir)
+    // merging oldest+newest around the surviving middle wave would break
+    // the 'higher wave id => higher docId range' concat invariant
+    val ex = intercept[IllegalArgumentException] {
+      Compactor.mergeWaves(spark, dir, Seq(0, 2))
+    }
+    assert(ex.getMessage.contains("interleaves"))
+    // contiguous merges still work and round-trip
+    val m = Compactor.mergeWaves(spark, dir, Seq(1, 2))
+    assert(m.waves.map(_.wave).sorted == Seq(0, 3))
+    assert(new Searcher(spark, dir).lookup("w3").count() > 0)
+  }
 }

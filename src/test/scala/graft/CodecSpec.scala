@@ -52,6 +52,23 @@ class CodecSpec extends AnyFunSuite {
     (0 until 4).foreach(i => assert(dec.positions(i).sameElements(pos(i))))
   }
 
+  test("mixed position presence within a block decodes without misalignment") {
+    // postings with and without positions in the SAME block: the codec must
+    // write an explicit 0 count for position-less entries, or the position
+    // stream misaligns and decodes garbage
+    val docs = Array(1L, 2L, 3L, 4L)
+    val tfs = Array(1, 2, 1, 2)
+    val pos = Array(Array(5), null, Array.empty[Int], Array(2, 8))
+    val blocks = PostingCodec.encode(docs, tfs, pos, blockSize = 16)
+    val dec = PostingCodec.decodeRun(blocks.toSeq)
+    assert(dec.docIds.sameElements(docs))
+    assert(dec.tfs.sameElements(tfs))
+    assert(dec.positions(0).sameElements(Array(5)))
+    assert(dec.positions(1).isEmpty)
+    assert(dec.positions(2).isEmpty)
+    assert(dec.positions(3).sameElements(Array(2, 8)))
+  }
+
   test("block-max metadata is exact per block") {
     val docs = (0L until 300L).toArray
     val tfs = docs.map(d => (d % 31 + 1).toInt)
