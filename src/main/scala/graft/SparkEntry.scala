@@ -47,6 +47,18 @@ object IndexCache {
 
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(spark, full(spark, sfDir))
+
+  /** Persisted LSH ANN index over the embeddings table (bucket-partitioned
+    * layout — queries prune the scan, AnnIndex scaladoc).
+    */
+  def ann(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"ann:$sfDir", {
+      val dir = s"$root/ann-${math.abs(sfDir.hashCode)}"
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val dim = emb.select("embedding").head().getSeq[Float](0).length
+      graft.ops.AnnIndex.build(emb, "vec_id", "embedding", dir, dim)
+      dir
+    })
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -87,13 +99,33 @@ object SparkEntry {
       .agg(sum("df0").as("df"), sum("tf0").as("tf"))
   }
 
-  private def bm25Rounded(spark: SparkSession, sfDir: String,
+  /** Top-k under the oracle's (round(score,4) DESC, doc_id ASC) order.
+    *
+    * The engine ranks by exact score; the oracle ranks by the rounded one,
+    * so docs separated by < 5e-5 in exact score can swap ranks. A fixed
+    * +slack fetch fails if more than `slack` docs tie at the rounded
+    * boundary — instead, fetch until the LOWEST fetched rounded score drops
+    * strictly below the k-th rounded score (rounding is monotone, so every
+    * unfetched doc then rounds strictly lower and cannot enter the top-k),
+    * or until the match set is exhausted.
+    */
+  private[graft] def bm25Rounded(spark: SparkSession, sfDir: String,
       terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
     val s = IndexCache.searcher(spark, sfDir)
-    s.bm25(terms, k + 10)
-      .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    var slack = 16
+    var out: Seq[(Long, Double)] = null
+    while (out == null) {
+      val rows = s.bm25(terms, k + slack)
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exhausted = rows.length < k + slack
+      val safe = rows.length <= k || rows(k - 1)._2 > rows.last._2
+      if (exhausted || safe) out = rows.take(k)
+      else slack *= 4
+    }
+    out.toDF("doc_id", "score")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -137,9 +169,15 @@ object SparkEntry {
     "q11_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 3, threshold = 0.9)),
+    // LSH candidates + exact-Jaccard verification of survivors: output is
+    // the same (a, b, jac) relation as q11, so the exact SQL oracle gates
+    // the whole LSH pipeline end-to-end (candidate recall included)
     "q12_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashCandidates(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text")),
+      Dedup.minhashDedup(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", threshold = 0.9)),
+    // simhash uses md5-derived token hashes, so the oracle recomputes the
+    // identical 64-bit fingerprints in SQL and checks the FULL hamming <= 3
+    // relation — no rows-only fallback
     "q13_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", maxDist = 3)),
@@ -159,13 +197,17 @@ object SparkEntry {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }),
+    // persisted bucket-partitioned LSH index; with 16 tables the candidate
+    // set provably contains the true top-10 on this corpus, so the exact
+    // brute-force SQL is a hard oracle for the whole index path
     "q16_ann_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, dim = q.length,
-        excludeId = Some(0L))
-        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+      graft.ops.AnnIndex.topK(s, IndexCache.ann(s, dir), q, 20, excludeId = Some(0L))
+        .select(col("id").as("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
     }),
     // ---- text analysis ---------------------------------------------------
     "q17_text_tokens" -> ((s, dir) =>
@@ -181,15 +223,75 @@ object SparkEntry {
       TextAnalysis.fingerprint(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text")),
     // ---- multimodal plumbing + streaming ---------------------------------
+    // payloads synthesized as REAL container files (BMP / WAV / raw bytes by
+    // doc_id mod 3) so the oracle gates the real header parsers AND the
+    // stub fallback; every field is a closed form of (doc_id, length(text))
     "q21_mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
         s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          .select(col("doc_id"),
+            Multimodal.synthPayload(col("doc_id"), col("text")).as("payload")),
         "doc_id", "payload").toDF()),
     "q22_stream_window" -> ((s, dir) =>
       StreamingOps.windowedEventCounts(s, s"$dir/events.parquet")),
     "q23_sessionize" -> ((s, dir) =>
-      graft.ops.Sessionize.batch(s.read.parquet(s"$dir/events.parquet")).toDF()))
+      graft.ops.Sessionize.batch(s.read.parquet(s"$dir/events.parquet")).toDF()),
+    // ---- doc resolution: query result -> forward map (url/key) -----------
+    "q24_resolve" -> ((s, dir) => {
+      val top = bm25Rounded(s, dir, Seq("spark", "vector", "dup"), 10)
+      IndexCache.searcher(s, dir).resolve(top, "doc_id")
+        .select(col("doc_id"), col("key"), col("score"))
+    }))
+
+  /** Exact all-pairs 3-gram Jaccard at threshold 0.9 — the oracle for BOTH
+    * the exact self-join operator (q11) and the LSH-then-verify pipeline
+    * (q12), which must produce the identical relation.
+    */
+  private val jaccardOracleSql: String =
+    "WITH t0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), " +
+      "'[^a-z0-9]+'), x -> x <> '') AS arr FROM documents), " +
+      "ti AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM t0), " +
+      "sh AS (SELECT DISTINCT doc_id, " +
+      "arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s FROM ti), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x " +
+      "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+      "SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jac FROM pairs " +
+      "JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b " +
+      "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9"
+
+  /** BM25 top-10 for ('spark','vector','dup') — oracle for q06 and the base
+    * relation q24 resolves through the forward map.
+    */
+  private val bm25OracleSql: String =
+    s"$toksCte, dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
+      "stats AS (SELECT (SELECT count(*) FROM documents) AS n, " +
+      "(SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks " +
+      "WHERE term IN ('spark','vector','dup') GROUP BY doc_id, term), " +
+      "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks " +
+      "WHERE term IN ('spark','vector','dup') GROUP BY term), " +
+      "sc AS (SELECT tf.doc_id, sum(ln((n - df + 0.5)/(df + 0.5) + 1.0) * " +
+      "tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS s " +
+      "FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats " +
+      "GROUP BY tf.doc_id) " +
+      "SELECT doc_id, round(s, 4) AS score FROM sc " +
+      "ORDER BY round(s, 4) DESC, doc_id LIMIT 10"
+
+  /** Exact brute-force cosine top-10 around vec_id 0 — oracle for q15 and
+    * (because the 16-table LSH candidate set contains the true top-10 on
+    * this corpus) for the indexed path q16.
+    */
+  private val bruteAnnOracleSql: String =
+    "WITH q AS (SELECT unnest(embedding) AS qv, " +
+      "unnest(generate_series(1, len(embedding))) AS i FROM embeddings WHERE vec_id = 0), " +
+      "ex AS (SELECT vec_id, unnest(embedding) AS v, " +
+      "unnest(generate_series(1, len(embedding))) AS i FROM embeddings WHERE vec_id <> 0), " +
+      "dp AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(qv AS DOUBLE)) AS d, " +
+      "sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2 FROM ex JOIN q USING(i) GROUP BY vec_id), " +
+      "nq AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS q2 FROM q) " +
+      "SELECT vec_id, round(d / (sqrt(n2) * sqrt(q2)), 4) AS cos FROM dp, nq " +
+      "ORDER BY round(d / (sqrt(n2) * sqrt(q2)), 4) DESC, vec_id LIMIT 10"
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
@@ -207,40 +309,38 @@ object SparkEntry {
       (s"$toksCte SELECT doc_id FROM toks GROUP BY doc_id " +
         "HAVING count(DISTINCT CASE WHEN term IN ('scan','filter') THEN term END) = 2 " +
         "AND count(CASE WHEN term = 'dup' THEN 1 END) = 0"),
-    "q06_bm25_topk" ->
-      (s"$toksCte, dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
-        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, " +
-        "(SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks " +
-        "WHERE term IN ('spark','vector','dup') GROUP BY doc_id, term), " +
-        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks " +
-        "WHERE term IN ('spark','vector','dup') GROUP BY term), " +
-        "sc AS (SELECT tf.doc_id, sum(ln((n - df + 0.5)/(df + 0.5) + 1.0) * " +
-        "tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS s " +
-        "FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats " +
-        "GROUP BY tf.doc_id) " +
-        "SELECT doc_id, round(s, 4) AS score FROM sc " +
-        "ORDER BY round(s, 4) DESC, doc_id LIMIT 10"),
+    "q06_bm25_topk" -> bm25OracleSql,
     "q07_ii_roundtrip" ->
       s"$toksCte SELECT doc_id, count(DISTINCT term) AS n_terms, count(*) AS n_tokens FROM toks GROUP BY doc_id",
+    // token-adjacency phrase semantics (not raw single-space LIKE): 'spark'
+    // and 'sort' as whole tokens separated by any non-alnum run — exactly
+    // the engine's tokenize-then-adjacent positional match
     "q08_ii_phrase" ->
-      "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% spark sort %'",
+      ("SELECT doc_id FROM documents WHERE " +
+        "regexp_matches(lower(text), '(^|[^a-z0-9])spark[^a-z0-9]+sort([^a-z0-9]|$)')"),
     "q09_ii_merge" ->
       s"$toksCte SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf FROM toks GROUP BY term",
     "q10_dedup_exact" ->
       "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id FROM documents",
-    "q11_dedup_jaccard" ->
-      ("WITH t0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), " +
-        "'[^a-z0-9]+'), x -> x <> '') AS arr FROM documents), " +
-        "ti AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM t0), " +
-        "sh AS (SELECT DISTINCT doc_id, " +
-        "arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s FROM ti), " +
-        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-        "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x " +
-        "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
-        "SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jac FROM pairs " +
-        "JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b " +
-        "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9"),
+    "q11_dedup_jaccard" -> jaccardOracleSql,
+    // the LSH pipeline's verified output must equal the exact all-pairs
+    // Jaccard relation — same oracle as q11 by construction
+    "q12_dedup_minhash" -> jaccardOracleSql,
+    // recompute the md5-based tf-weighted simhash sign vectors in SQL and
+    // take hamming distance = count of differing sign bits per pair (the
+    // engine packs the same signs into a 64-bit word and popcounts the xor)
+    "q13_dedup_simhash" ->
+      (s"$toksCte, h AS (SELECT doc_id, " +
+        "('0x' || substr(md5(term), 1, 16))::UBIGINT AS hv FROM toks), " +
+        "bits AS (SELECT doc_id, bb.b AS b, " +
+        "sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb " +
+        "GROUP BY doc_id, bb.b), " +
+        "ham AS (SELECT x.doc_id AS a, y.doc_id AS b2, " +
+        "sum(CASE WHEN (x.s > 0) <> (y.s > 0) THEN 1 ELSE 0 END) AS d " +
+        "FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT a, b2 AS b, CAST(d AS INT) AS hamming FROM ham WHERE d <= 3"),
     "q14_embed_neardup" ->
       ("WITH ex AS (SELECT vec_id, label, unnest(embedding) AS v, " +
         "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), " +
@@ -251,35 +351,41 @@ object SparkEntry {
         "SELECT a, b, round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos FROM p " +
         "JOIN nn na ON na.vec_id = a JOIN nn nb ON nb.vec_id = b " +
         "WHERE round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.4"),
-    "q15_ann_topk" ->
-      ("WITH q AS (SELECT unnest(embedding) AS qv, " +
-        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings WHERE vec_id = 0), " +
-        "ex AS (SELECT vec_id, unnest(embedding) AS v, " +
-        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings WHERE vec_id <> 0), " +
-        "dp AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(qv AS DOUBLE)) AS d, " +
-        "sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2 FROM ex JOIN q USING(i) GROUP BY vec_id), " +
-        "nq AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS q2 FROM q) " +
-        "SELECT vec_id, round(d / (sqrt(n2) * sqrt(q2)), 4) AS cos FROM dp, nq " +
-        "ORDER BY round(d / (sqrt(n2) * sqrt(q2)), 4) DESC, vec_id LIMIT 10"),
+    "q15_ann_topk" -> bruteAnnOracleSql,
+    "q16_ann_lsh" -> bruteAnnOracleSql,
+    // q17-q20 oracles LEFT JOIN the token aggregates back to documents with
+    // COALESCE defaults, and fingerprint over the tokenized form — so they
+    // stay equivalent to the Spark side on corpora with empty / all-punct
+    // docs, not just on well-formed synthetic text
     "q17_text_tokens" ->
-      (s"$toksCte SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_terms, " +
-        "round(sum(length(term)) * 1.0 / count(*), 4) AS avg_token_len FROM toks GROUP BY doc_id"),
+      (s"$toksCte, agg AS (SELECT doc_id, count(*) AS n_tokens, " +
+        "count(DISTINCT term) AS n_terms, sum(length(term)) AS tl FROM toks GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens, " +
+        "COALESCE(agg.n_terms, 0) AS n_terms, " +
+        "round(COALESCE(agg.tl * 1.0 / agg.n_tokens, 0.0), 4) AS avg_token_len " +
+        "FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"),
     "q18_text_quality" ->
       (s"$toksCte, agg AS (SELECT doc_id, count(*) AS n_tokens, " +
         "sum(CASE WHEN term IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS ns " +
         "FROM toks GROUP BY doc_id) " +
-        "SELECT d.doc_id, agg.n_tokens, round(ns * 1.0 / n_tokens, 4) AS stop_ratio, " +
-        "round(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(d.text), 4) AS alpha_ratio, " +
-        "(n_tokens >= 5 AND n_tokens <= 100000 AND ns * 1.0 / n_tokens <= 0.9) AS keep " +
-        "FROM documents d JOIN agg ON agg.doc_id = d.doc_id"),
+        "SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens, " +
+        "round(COALESCE(ns * 1.0 / agg.n_tokens, 0.0), 4) AS stop_ratio, " +
+        "round(COALESCE(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) * 1.0 " +
+        "/ nullif(length(d.text), 0), 0.0), 4) AS alpha_ratio, " +
+        "(COALESCE(agg.n_tokens, 0) >= 5 AND COALESCE(agg.n_tokens, 0) <= 100000 " +
+        "AND COALESCE(ns * 1.0 / agg.n_tokens, 0.0) <= 0.9) AS keep " +
+        "FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"),
     "q19_text_langid" ->
-      (s"$toksCte, sc AS (SELECT doc_id, " +
+      (s"$toksCte, sc0 AS (SELECT doc_id, " +
         "sum(CASE WHEN term IN ('the','a','and','of','to','in','is') THEN 1 ELSE 0 END) AS s_en, " +
         "sum(CASE WHEN term IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END) AS s_de, " +
         "sum(CASE WHEN term IN ('le','la','les','et','est','une') THEN 1 ELSE 0 END) AS s_fr, " +
         "sum(CASE WHEN term IN ('el','los','las','y','es','una') THEN 1 ELSE 0 END) AS s_es, " +
         "sum(CASE WHEN term IN ('i','v','ne','na','eto') THEN 1 ELSE 0 END) AS s_ru " +
-        "FROM toks GROUP BY doc_id) " +
+        "FROM toks GROUP BY doc_id), " +
+        "sc AS (SELECT d.doc_id, COALESCE(s_en, 0) AS s_en, COALESCE(s_de, 0) AS s_de, " +
+        "COALESCE(s_fr, 0) AS s_fr, COALESCE(s_es, 0) AS s_es, COALESCE(s_ru, 0) AS s_ru " +
+        "FROM documents d LEFT JOIN sc0 ON sc0.doc_id = d.doc_id) " +
         "SELECT doc_id, CASE " +
         "WHEN greatest(s_en, s_de, s_fr, s_es, s_ru) = 0 THEN 'und' " +
         "WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'en' " +
@@ -288,13 +394,22 @@ object SparkEntry {
         "WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_ru) THEN 'es' " +
         "ELSE 'ru' END AS lang_pred FROM sc"),
     "q20_text_fingerprint" ->
-      "SELECT doc_id, md5(text) AS fp FROM documents",
+      ("SELECT doc_id, md5(array_to_string(list_filter(" +
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp " +
+        "FROM documents"),
     "q21_mm_meta" ->
-      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
-        "CAST(64 + length(text) % 576 AS INT) AS width, " +
-        "CAST(64 + (length(text) * 7) % 416 AS INT) AS height, " +
-        "CAST(1 + length(text) % 16 AS INT) AS frames, " +
-        "CASE length(text) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind " +
+      ("SELECT doc_id, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 54 + length(text) " +
+        "WHEN 1 THEN 44 + 2 * length(text) ELSE length(text) END AS BIGINT) AS n_bytes, " +
+        "CAST(CASE doc_id % 3 WHEN 1 THEN 0 " +
+        "ELSE 64 + length(text) % 576 END AS INT) AS width, " +
+        "CAST(CASE doc_id % 3 WHEN 1 THEN 0 " +
+        "ELSE 64 + (length(text) * 7) % 416 END AS INT) AS height, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN length(text) " +
+        "ELSE 1 + length(text) % 16 END AS INT) AS frames, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE (CASE length(text) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END) END AS kind " +
         "FROM documents"),
     "q22_stream_window" ->
       ("SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws, event_type, " +
@@ -306,5 +421,8 @@ object SparkEntry {
         "sess AS (SELECT user_id, s, sum(brk) OVER (PARTITION BY user_id ORDER BY s " +
         "ROWS UNBOUNDED PRECEDING) AS sid FROM b) " +
         "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, CAST(max(s) - min(s) AS BIGINT) AS duration_sec " +
-        "FROM sess GROUP BY user_id, sid"))
+        "FROM sess GROUP BY user_id, sid"),
+    "q24_resolve" ->
+      (s"WITH base AS ($bm25OracleSql) " +
+        "SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, score FROM base"))
 }

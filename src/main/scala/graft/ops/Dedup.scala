@@ -38,12 +38,28 @@ object Dedup {
 
   private def $(s: String) = col(s)
 
+  /** Materialize `result` to a temp staging table, then release the cached
+    * inputs that fed it. The persisted staging tables here are corpus-sized
+    * (shingles, signatures); returning a lazy plan over them would leak the
+    * cache for the lifetime of the session (one leaked cache per query in a
+    * Verify/Bench run). At cluster scale this write IS the natural pipeline
+    * shape: dedup stages checkpoint to a staging table anyway.
+    */
+  private def materializeAndRelease(result: DataFrame,
+      cached: Seq[DataFrame]): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stage")
+      .toString + "/out"
+    result.write.mode("overwrite").parquet(tmp)
+    cached.foreach(_.unpersist())
+    result.sparkSession.read.parquet(tmp)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
     *
     * Shingle-inverted-index self-join: pairs only materialize for docs
     * sharing at least one shingle. At web scale this is the *verification*
-    * stage run after MinHash-LSH candidate generation; standalone it is
-    * exact and oracle-checkable.
+    * stage run after MinHash-LSH candidate generation (see [[minhashDedup]]);
+    * standalone it is exact and oracle-checkable.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double): DataFrame = {
@@ -58,13 +74,14 @@ object Dedup {
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("common"))
-    pairs
+    val out = pairs
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
       .withColumn("jac", col("common").cast("double") /
         (col("sza") + col("szb") - col("common")))
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
+    materializeAndRelease(out, Seq(sh))
   }
 
   /** MinHash signature of a shingle set: k independent permutations
@@ -102,17 +119,42 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
+    // Materialize shingle sets once: the tokenize+shingle+minhash chain
+    // would otherwise be recomputed on both sides of the self-join AND per
+    // band (measured 49s -> ~5s on the 500-doc driver table). At cluster
+    // scale this persist becomes a checkpoint/staging-table write of
+    // (id, sig) — tiny relative to input.
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cand, sig) = lshCandidates(sh, k, bands, seed)
+    val out = cand
+      .join(sig.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sig.select(col("id").as("b"), col("sig").as("sigb")), "b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k))
+      .select(col("a"), col("b"), col("est_jaccard"))
+    materializeAndRelease(out, Seq(sh, sig))
+  }
+
+  /** (id, sh: array<string>) distinct shingle sets per doc. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(shingleCol(col(textCol), shingleN)).as("sh"))
+
+  /** Core LSH banding over a (id, sh) shingle-set table: returns the
+    * distinct candidate pairs (a < b) plus the persisted signature table
+    * (caller must unpersist). Only (id, band, bucket) triples ever enter the
+    * self-join shuffle — signatures and shingles stay out of it.
+    */
+  private def lshCandidates(sh: DataFrame, k: Int, bands: Int,
+      seed: Long): (DataFrame, DataFrame) = {
     require(k % bands == 0)
     val rows = k / bands
-    // Materialize signatures once: the UDF would otherwise be recomputed on
-    // both sides of the self-join AND per band (measured 49s -> ~5s on the
-    // 500-doc driver table). At cluster scale this persist becomes a
-    // checkpoint/staging-table write of (id, sig) — tiny relative to input.
-    val sig = df.select(col(idCol).as("id"),
-      minhashSig(k, seed)(array_distinct(shingleCol(col(textCol), shingleN))).as("sig"))
+    val sig = sh.select(col("id"), minhashSig(k, seed)(col("sh")).as("sig"))
       .where(size(col("sig")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shuffle only (id, band, bucket) — signatures stay out of the join
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(lit(42), slice(col("sig"), b * rows + lit(1), lit(rows)), b)))
@@ -122,25 +164,57 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    cand
-      .join(sig.select(col("id").as("a"), col("sig").as("siga")), "a")
-      .join(sig.select(col("id").as("b"), col("sig").as("sigb")), "b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(k))
-      .select(col("a"), col("b"), col("est_jaccard"))
+    (cand, sig)
   }
 
-  /** 64-bit SimHash over tokens (tf-weighted). Deterministic seeded token
-    * hashing (Charikar's similarity-preserving hash, public literature).
+  /** Full MinHash-LSH near-dup pipeline: banded candidate generation
+    * followed by EXACT Jaccard verification of the survivors — the
+    * production shape (candidates are a vanishing fraction of the pair
+    * space; the exact set check touches only them, via array_intersect on
+    * the two ~|shingles|-sized arrays per candidate).
+    *
+    * Output (a, b, jac >= threshold) equals exact all-pairs Jaccard
+    * whenever every true pair at `threshold` collides in some band; with
+    * the default 16 bands x 4 rows a j=0.9 pair is missed with probability
+    * (1 - 0.9^4)^16 < 4e-8 — deterministic-in-practice on a fixed corpus,
+    * which is what makes this oracle-checkable against the exact SQL.
     */
-  def simhash(seed: Long = 42L): Column => Column = { toksCol: Column =>
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      seed: Long = 42L, threshold: Double = 0.9): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cand, sig) = lshCandidates(sh, k, bands, seed)
+    val out = cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .where(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("jac"))
+    materializeAndRelease(out, Seq(sh, sig))
+  }
+
+  /** 64-bit SimHash over tokens (tf-weighted; Charikar's
+    * similarity-preserving hash, public literature). The per-token hash is
+    * the first 8 bytes (big-endian) of md5(token) — md5 is computable
+    * bit-identically in any SQL engine, which is what lets the FULL
+    * hamming-distance relation be oracle-checked externally instead of
+    * trusting the JVM hash. Zero-token docs are skipped by callers (no
+    * content to fingerprint).
+    */
+  def simhash: Column => Column = { toksCol: Column =>
     val f = udf { (ts: Seq[String]) =>
       if (ts == null || ts.isEmpty) 0L
       else {
+        val md = java.security.MessageDigest.getInstance("MD5")
         val acc = new Array[Int](64)
         ts.foreach { t =>
-          val h = Hashing.hashString(t, seed)
+          val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -161,11 +235,12 @@ object Dedup {
     * of 4 bands — pigeonhole). Returns (a, b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, seed: Long = 42L): DataFrame = {
+      maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3,
       s"4-band/16-bit blocking only guarantees recall for maxDist <= 3 (got $maxDist)")
-    val sh = df.select(col(idCol).as("id"),
-      simhash(seed)(tokens(col(textCol))).as("sh"))
+    val sh = df.where(size(tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        simhash(tokens(col(textCol))).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))

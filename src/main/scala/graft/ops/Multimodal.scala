@@ -1,11 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Decoded media metadata for one document. The schema is the real
-  * contract a downstream trainer consumes; only the pixel/sample decode is
-  * stubbed (see [[Multimodal.decodeStub]]).
+  * contract a downstream trainer consumes.
   */
 final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
     height: Int, frames: Int, kind: String)
@@ -13,18 +12,20 @@ final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns processed in partition-sized batches.
   *
-  * The container ships no media codecs, so the decode itself is a
-  * deterministic STUB (`decodeStub`) — everything around it is real and
-  * tested: binary column handling, typed batch iteration via
-  * `mapPartitions` (one JVM-side batch per partition — the Scala analogue
-  * of an arrow-batched UDF), deterministic metadata schema, and partition
-  * sizing that keeps payload batches bounded in memory.
+  * The metadata decode is REAL for container formats whose headers are
+  * parseable in pure JVM code with no codec libraries — BMP and PNG image
+  * dimensions, WAV sample counts ([[Multimodal.decode]], each gated by a
+  * byte-level unit test on hand-crafted files). Payloads in formats the
+  * container can't decode (no JPEG/opus codecs ship here) fall back to the
+  * deterministic [[Multimodal.decodeStub]] so tests and oracles can still
+  * gate the batch plumbing end-to-end.
   */
 object Multimodal {
 
-  /** STUB decoder: a real implementation would call an image/audio codec
-    * (JPEG/PNG/opus...) on `payload`. Here metadata derives deterministically
-    * from the payload bytes so tests and oracles can gate the plumbing.
+  /** STUB decoder for unrecognized formats: a real implementation would
+    * call an image/audio codec on `payload`. Metadata derives
+    * deterministically from the payload bytes so oracles can gate the
+    * plumbing around it.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, String) = {
     val n = if (payload == null) 0 else payload.length
@@ -39,6 +40,61 @@ object Multimodal {
     (width, height, frames, kind)
   }
 
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Real header parse: (width, height, frames, kind), or None if the
+    * payload is not a recognizable BMP / PNG / WAV.
+    *
+    *  - BMP: BITMAPINFOHEADER width/height (little-endian int32 at byte
+    *    18/22 of the file, per the public Windows BMP layout).
+    *  - PNG: IHDR width/height (big-endian int32 right after the 8-byte
+    *    signature + chunk length/type, per the PNG spec).
+    *  - WAV: RIFF/WAVE chunk walk; frames = data-chunk bytes / block align
+    *    from the fmt chunk, per the public RIFF WAVE layout.
+    */
+  def decodeReal(p: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    if (p == null) return None
+    // BMP
+    if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+      return Some((le32(p, 18), le32(p, 22), 1, "image"))
+    // PNG
+    if (p.length >= 24 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+        p(3) == 'G' && p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+      return Some((be32(p, 16), be32(p, 20), 1, "image"))
+    // WAV: RIFF....WAVE then chunk list
+    if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+      var off = 12
+      var blockAlign = 0
+      var dataSize = -1
+      while (off + 8 <= p.length && (blockAlign == 0 || dataSize < 0)) {
+        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(p, off + 4)
+        if (id == "fmt " && off + 22 + 2 <= p.length) blockAlign = le16(p, off + 20)
+        if (id == "data") dataSize = sz
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (blockAlign > 0 && dataSize >= 0)
+        return Some((0, 0, dataSize / blockAlign, "audio"))
+    }
+    None
+  }
+
+  /** Parse-or-stub: real container headers first, deterministic stub for
+    * everything else.
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Int, String) =
+    decodeReal(payload).getOrElse(decodeStub(payload))
+
   /** Extract media metadata from (idCol LONG, payloadCol BINARY) rows.
     * Batched per partition; payload bytes never hit the driver.
     */
@@ -50,9 +106,72 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, payload) =>
           val n = if (payload == null) 0L else payload.length.toLong
-          val (w, h, f, k) = decodeStub(payload)
+          val (w, h, f, k) = decode(payload)
           MediaMeta(id, n, w, h, f, k)
         }
       }
+  }
+
+  // ---- deterministic payload synthesis (fixture path) ---------------------
+  // The testdata tables carry no real media bytes, so the driver queries
+  // synthesize valid container files from (doc_id, text): docs 0 mod 3 get a
+  // real BMP header (+text tail as pixel junk), 1 mod 3 a real WAV with one
+  // 16-bit sample per text char, 2 mod 3 the raw text bytes (unrecognized ->
+  // stub fallback). All three decode paths are exercised and every output
+  // field stays a closed form of (doc_id, length(text)) for the SQL oracle.
+
+  def bmpBytes(width: Int, height: Int, tail: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](54 + tail.length)
+    def wle32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    def wle16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    wle32(2, out.length); wle32(10, 54)
+    wle32(14, 40); wle32(18, width); wle32(22, height)
+    wle16(26, 1); wle16(28, 24)
+    System.arraycopy(tail, 0, out, 54, tail.length)
+    out
+  }
+
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nSamples * blockAlign
+    val out = new Array[Byte](44 + dataSize)
+    def wle32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    def wle16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); wle32(4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); wle32(16, 16); wle16(20, 1); wle16(22, channels)
+    wle32(24, sampleRate); wle32(28, sampleRate * blockAlign)
+    wle16(32, blockAlign); wle16(34, bitsPerSample)
+    tag(36, "data"); wle32(40, dataSize)
+    out
+  }
+
+  /** (doc_id, text) -> deterministic container payload (see above). */
+  def synthPayload: (Column, Column) => Column = { (docId, text) =>
+    val f = udf { (id: Long, t0: String) =>
+      val t = if (t0 == null) "" else t0
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val L = bytes.length
+      (id % 3) match {
+        case 0 => bmpBytes(64 + L % 576, 64 + (L * 7) % 416, bytes)
+        case 1 => wavBytes(16000, 1, 16, L)
+        case _ => bytes
+      }
+    }
+    f(docId, text)
   }
 }

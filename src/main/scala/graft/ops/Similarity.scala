@@ -34,7 +34,7 @@ object Similarity {
     * dim) — sum of 4 seeded uniforms (CLT); every executor derives identical
     * planes with no broadcast of random state.
     */
-  private def planeCoef(seed: Long, table: Int, p: Int, d: Int): Double = {
+  private[ops] def planeCoef(seed: Long, table: Int, p: Int, d: Int): Double = {
     val key = (table.toLong << 48) | (p.toLong << 32) | (d.toLong << 8)
     val u = (0 until 4).map(r =>
       (Hashing.mix(seed, key | r) >>> 11) * 1.1102230246251565e-16).sum
@@ -46,11 +46,11 @@ object Similarity {
     * costs 4 hash mixes each; per-row recomputation measured 6s on 2k
     * vectors).
     */
-  private def planeMatrix(seed: Long, tables: Int, planes: Int,
+  private[ops] def planeMatrix(seed: Long, tables: Int, planes: Int,
       dim: Int): Array[Array[Array[Double]]] =
     Array.tabulate(tables, planes, dim)((t, p, d) => planeCoef(seed, t, p, d))
 
-  private def bucketOf(v: IndexedSeq[Float], tablePlanes: Array[Array[Double]]): Int = {
+  private[ops] def bucketOf(v: IndexedSeq[Float], tablePlanes: Array[Array[Double]]): Int = {
     var bucket = 0
     var p = 0
     while (p < tablePlanes.length) {
@@ -82,10 +82,11 @@ object Similarity {
     f(vecCol)
   }
 
-  /** LSH-pruned cosine top-k: a vector is a candidate if it collides with
-    * the query in ANY of the `tables` hash tables; exact cosine is computed
-    * on survivors only. At scale the bucket filter prunes the scan; recall
-    * rises with `tables`, cost with bucket size.
+  /** LSH-pruned cosine top-k over an UN-indexed table: buckets are computed
+    * on the fly, so every row is still scanned and hashed — the prune saves
+    * dot products only. This is the ad-hoc/one-shot form; for repeated
+    * queries at scale use [[AnnIndex]], which persists the buckets as a
+    * partition key so the scan itself is pruned.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int, dim: Int, tables: Int = 16,

@@ -133,4 +133,60 @@ class OpsSpec extends SparkSpec {
     assert(got(1L).n_bytes == 5 && got(1L).width == 64 + 5 % 576)
     assert(got(2L).n_bytes == 0 && got(2L).kind == "image")
   }
+
+  test("BMP header parse: real width/height from crafted bytes") {
+    val bmp = Multimodal.bmpBytes(640, 480, Array[Byte](1, 2, 3))
+    assert(Multimodal.decodeReal(bmp) == Some((640, 480, 1, "image")))
+    // truncated header -> not recognized
+    assert(Multimodal.decodeReal(bmp.take(20)).isEmpty)
+  }
+
+  test("WAV chunk walk: frames from data size / block align, extra chunks skipped") {
+    val wav = Multimodal.wavBytes(16000, 2, 16, 1234)
+    assert(Multimodal.decodeReal(wav) == Some((0, 0, 1234, "audio")))
+    // insert a LIST chunk between fmt and data: parser must walk past it
+    val pre = wav.take(36)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ Array.fill[Byte](6)(7)
+    val withList = pre ++ listChunk ++ wav.drop(36)
+    assert(Multimodal.decodeReal(withList) == Some((0, 0, 1234, "audio")))
+  }
+
+  test("PNG IHDR parse: big-endian dimensions") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 1, 0, // width 256
+      0, 0, 0, 64, // height 64
+      8, 6, 0, 0, 0)
+    assert(Multimodal.decodeReal(png) == Some((256, 64, 1, "image")))
+  }
+
+  test("unknown payloads fall back to the deterministic stub") {
+    val raw = "just some text".getBytes("UTF-8")
+    assert(Multimodal.decodeReal(raw).isEmpty)
+    assert(Multimodal.decode(raw) == Multimodal.decodeStub(raw))
+  }
+
+  test("minhash LSH + exact verification equals exact all-pairs jaccard") {
+    val exact = Dedup.jaccardPairs(planted, "doc_id", "text", n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashDedup(planted, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+    assert(lsh.nonEmpty)
+  }
+
+  test("persisted ANN index: multi-probe topK == brute force on sf0.001") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val dir = scratch("annidx")
+    graft.ops.AnnIndex.build(emb, "vec_id", "embedding", dir, q.length)
+    val got = graft.ops.AnnIndex.topK(spark, dir, q, 10, excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+        excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
 }

@@ -70,4 +70,25 @@ class PlanSpec extends SparkSpec {
     val plan = s.bm25(Seq("w3", "w9"), 5).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("ANN index query prunes the scan by (tbl, bucket) partition filters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val annDir = scratch("planspec-ann")
+    graft.ops.AnnIndex.build(emb, "vec_id", "embedding", annDir, q.length)
+    val plan = graft.ops.AnnIndex.candidates(spark, annDir, q)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tbl") && pf.contains("bucket"), plan)
+    // the prune is purely partition-level: no data-column predicate needed
+    assert(plan.contains("PushedFilters: []"), plan)
+  }
+
+  test("doc resolution pushes the id set into the docmeta scan (small results)") {
+    val res = s.lookup("w3").limit(5)
+    val plan = s.resolve(res).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(docId") ||
+      plan.contains("In(docId"), plan)
+  }
 }

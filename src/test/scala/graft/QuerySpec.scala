@@ -132,4 +132,22 @@ class QuerySpec extends SparkSpec {
     val got = s.bm25(Seq(tail), matches.size + 100)
     assert(got.count() == matches.size)
   }
+
+  test("rounded-tie top-k: 30 score-tied docs rank-identical to the oracle order") {
+    // 30 identical top-scoring docs + filler: far more ties at the rounded
+    // boundary than any fixed fetch slack — bm25Rounded must widen its cut
+    // until the k-th rounded score strictly separates, then resolve ties by
+    // doc_id exactly like the SQL oracle's (round(score,4) DESC, doc_id)
+    val sfDir = scratch("tied-sf")
+    val tied = (0L until 30L).map(i => (i + 500L, "alpha alpha beta"))
+    val filler = (0L until 100L).map(i => (i, s"beta gamma w${i % 9} w${i % 13}"))
+    import spark.implicits._
+    (tied ++ filler).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    val got = SparkEntry.bm25Rounded(spark, sfDir, Seq("alpha"), 10)
+      .as[(Long, Double)].collect().toSeq
+    // expected: the 10 smallest doc_ids of the tied group, one score value
+    assert(got.map(_._1) == (500L until 510L).toSeq, got)
+    assert(got.map(_._2).distinct.size == 1)
+  }
 }
