@@ -14,9 +14,10 @@ import org.apache.spark.sql.SparkSession
   *    synthetic pages corpus (FIXTURES.md §2) — the BASELINE.md headline;
   *  - `bm25_p50_ms`/`bm25_p99_ms`: query latency over repeated BM25 top-10
   *    runs with rotating term mixes;
-  *  - `scaling`: the same build at local[N] vs local[4N] on identical input
-  *    (BASELINE.md protocol: sandbox proxy for N vs 4N executors), default
-  *    2 -> 8 physical cores, interleaved min-of-reps;
+  *  - `scaling`: the same build at N vs 4N executor PROCESSES
+  *    (`local-cluster[n,1,..]` child JVMs — BASELINE.md protocol; see
+  *    ScalingBuild for why local[N] threads cannot measure scaling on this
+  *    sandbox), default 1 -> 4 executors, interleaved min-of-reps;
   *    efficiency = (docsPerSec_hi / docsPerSec_lo) / 4.
   */
 object Bench {
@@ -54,27 +55,56 @@ object Bench {
     (n / sec, postings / sec)
   }
 
+  /** Pids of java processes OUTSIDE this JVM's ancestry. Round-1 lesson:
+    * two orphaned JVMs from an earlier streaming-test hang silently burned
+    * cores through the whole bench window and inflated q12 from 33s to
+    * 192s — so the bench refuses to trust a dirty box silently: it warns,
+    * reports the count in the JSON line, and aborts under
+    * SPARK_GRAFT_BENCH_STRICT=1.
+    */
+  private def foreignJvms(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val self = ProcessHandle.current()
+    var ancestors = Set(self.pid)
+    var p = self.parent()
+    while (p.isPresent) { ancestors += p.get.pid; p = p.get.parent() }
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter(h => !ancestors.contains(h.pid))
+      .filter { h =>
+        val info = h.info()
+        val cmd = info.command().orElse("") + " " + info.commandLine().orElse("")
+        cmd.contains("java")
+      }
+      .map(_.pid).toSeq
+  }
+
   def main(args: Array[String]): Unit = {
+    val stale = foreignJvms()
+    if (stale.nonEmpty) {
+      System.err.println(s"[bench] WARNING: ${stale.size} foreign java " +
+        s"process(es) alive (pids ${stale.mkString(",")}); timings may be " +
+        "contaminated. Set SPARK_GRAFT_BENCH_STRICT=1 to abort instead.")
+      if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
+        System.err.println("[bench] STRICT mode: refusing to bench a dirty box")
+        sys.exit(2)
+      }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "300000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1200000").toLong
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
 
-    // ---- scaling FIRST, on a clean JVM: identical input at local[N] vs
-    // local[4N], interleaved min-of-reps (ScalingProbe). Default N=2 ->
-    // 4N=8: beyond 8 threads this sandbox VM's vCPUs are SMT/overcommitted
-    // and even raw hashing scales at only ~0.70 from 8->32, so 2->8 is the
-    // honest physical-core proxy (BASELINE.md). Running before the query
-    // suite keeps heap/GC state comparable across the two core counts.
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-    val scaleCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8")
+    // ---- scaling FIRST: identical build at N vs 4N executor PROCESSES
+    // (local-cluster via child JVMs — see ScalingProbe/ScalingBuild for why
+    // threads-in-one-JVM cannot measure scaling on this sandbox), default
+    // 1 -> 4 executors, interleaved min-of-reps, each rep a clean JVM.
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val scaleCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "1,4")
       .split(",").map(_.trim.toInt).toSeq
     val tmpRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else tmp
     val scaleTmp = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(tmpRoot), "graft-bench-scale").toString
-    ScalingProbe.buildOnce(scaleCores.max, math.min(scaleDocs / 8, 50000L),
-      s"$scaleTmp/warmup") // JIT warmup, untimed
     val tp = ScalingProbe.run(scaleCores, scaleDocs, scaleReps, scaleTmp)
     val loC = scaleCores.head
     val hiC = scaleCores.last
@@ -88,6 +118,7 @@ object Bench {
     // ---- warm the index caches so query timings are query timings --------
     val (_, buildFullSec) = time(IndexCache.full(spark, sfDir))
     val (_, buildTwoSec) = time(IndexCache.twoWave(spark, sfDir))
+    val (_, buildAnnSec) = time(IndexCache.ann(spark, sfDir))
 
     // ---- per-query timings ------------------------------------------------
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -121,8 +152,8 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""index_build":{"docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,""" +
-        f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f},""" +
-        f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f,""" +
+        f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f},""" +
+        f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f,"stale_jvms":${stale.size},""" +
         f""""scaling":{"docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,""" +
         f""""docs_per_sec_lo":$dpsLo%.1f,"docs_per_sec_hi":$dpsHi%.1f,"efficiency":$efficiency%.3f}}""")
   }

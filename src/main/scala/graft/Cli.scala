@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   *       [--append] [--docs-per-segment N] [--no-positions] [--compact]
   *   spark-submit --class graft.QueryIndex app.jar <indexDir> \
   *       <and|or|phrase|lookup|bm25> term [term ...] [--k N] \
-  *       [--from epochMs --to epochMs]
+  *       [--from epochMs --to epochMs] [--resolve]
   *
   * tableSpec: `parquet:/path`, `iceberg:cat.db.tbl`, or `table:name`
   * (CorpusSource). The input must be pages-shaped (url, warc_ts,
@@ -64,11 +64,14 @@ object QueryIndex {
     val mode = args(1)
     val rest = args.drop(2)
     val flagNames = Set("--k", "--from", "--to")
+    val boolFlags = Set("--resolve")
     val terms = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
       while (i < rest.length) {
-        if (flagNames(rest(i))) i += 2 else { buf += rest(i); i += 1 }
+        if (flagNames(rest(i))) i += 2
+        else if (boolFlags(rest(i))) i += 1
+        else { buf += rest(i); i += 1 }
       }
       buf.toSeq
     }
@@ -89,8 +92,10 @@ object QueryIndex {
       case "bm25" => s.bm25(terms.toSeq, k)
       case other => sys.error(s"unknown mode $other")
     }
-    result.show(k, truncate = false)
-    println(s"${result.count()} rows")
+    // --resolve: join docIds back to the forward map (url/key + ts)
+    val out = if (rest.contains("--resolve")) s.resolve(result) else result
+    out.show(k, truncate = false)
+    println(s"${out.count()} rows")
     spark.stop()
   }
 }

@@ -240,6 +240,61 @@ object PostingCodec {
     out
   }
 
+  /** Encode a run whose positions are already delta+varbyte packed per
+    * posting (`posBytes(i)` = the gap stream of posting i, NO count prefix;
+    * the count is the posting's tf, or 0 when the slice is empty).
+    *
+    * This is the build hot path: the tokenize UDF packs positions BEFORE
+    * the (term, segId) shuffle, so the exchange moves ~tf bytes per posting
+    * instead of an unpacked int array (UnsafeRow arrays cost ~8 bytes per
+    * element plus headers — measured ~10x the raw corpus bytes through the
+    * shuffle). The on-disk block format is bit-identical to [[encode]]:
+    * this just splices pre-packed streams instead of re-deriving them.
+    */
+  def encodePacked(
+      docIds: Array[Long],
+      tfs: Array[Int],
+      posBytes: Array[Array[Byte]],
+      blockSize: Int = BlockSize): Array[PBlock] = {
+    val nBlocks = (docIds.length + blockSize - 1) / blockSize
+    val out = new Array[PBlock](nBlocks)
+    var b = 0
+    while (b < nBlocks) {
+      val start = b * blockSize
+      val end = math.min(start + blockSize, docIds.length)
+      val docBytes = encodeDocs(docIds, start, end)
+      val tfBuf = new ArrayBuffer[Byte](end - start)
+      val posBuf = new ArrayBuffer[Byte]()
+      var blockHasPos = false
+      if (posBytes != null) {
+        var i0 = start
+        while (!blockHasPos && i0 < end) {
+          if (posBytes(i0) != null && posBytes(i0).nonEmpty) blockHasPos = true
+          i0 += 1
+        }
+      }
+      var maxTf = 0
+      var i = start
+      while (i < end) {
+        VarByte.write(tfBuf, tfs(i).toLong)
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (blockHasPos) {
+          val pb = posBytes(i)
+          if (pb == null || pb.isEmpty) VarByte.write(posBuf, 0L)
+          else {
+            VarByte.write(posBuf, tfs(i).toLong)
+            posBuf ++= pb
+          }
+        }
+        i += 1
+      }
+      out(b) = PBlock(docIds(end - 1), maxTf, end - start,
+        docBytes, tfBuf.toArray, posBuf.toArray)
+      b += 1
+    }
+    out
+  }
+
   /** Decode docIDs + tfs of one block (skips positions — the scoring path). */
   def decodeDocsTfs(blk: PBlock): (Array[Long], Array[Int]) = {
     val docs = decodeDocs(blk.docBytes, blk.n)

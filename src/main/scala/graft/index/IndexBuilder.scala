@@ -41,9 +41,43 @@ import scala.collection.mutable.ArrayBuffer
 object IndexBuilder {
   val Version = 1
 
-  case class TfRow(term: String, docId: Long, tf: Int, positions: Seq[Int], segId: Long)
+  case class TfRow(term: String, docId: Long, tf: Int, pos: Array[Byte], segId: Long)
   case class DlRow(docId: Long, dl: Int, segId: Long, ts: Long)
-  case class TermEntry(term: String, tf: Int, positions: Seq[Int])
+  /** One distinct term of one doc; `pos` is the delta+varbyte-packed gap
+    * stream of its positions (count == tf; empty when positions disabled) —
+    * packed BEFORE the build shuffle so the exchange moves ~tf bytes per
+    * posting (see PostingCodec.encodePacked).
+    */
+  case class TermEntry(term: String, tf: Int, pos: Array[Byte])
+
+  /** Growable primitive int buffer — positions accumulate unboxed (an
+    * `ArrayBuffer[Int]` boxes every append; at ~150 positions per doc that
+    * was tens of millions of Integer allocations per million docs, in the
+    * hottest stage of the build).
+    */
+  private final class IntBuf(initial: Int) {
+    private var a = new Array[Int](initial)
+    var n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(n) = v
+      n += 1
+    }
+    /** Delta+varbyte pack (first absolute, then gaps) — ascending ints. */
+    def toPacked: Array[Byte] = {
+      val out = new ArrayBuffer[Byte](n + 2)
+      var i = 0
+      var prev = 0
+      while (i < n) {
+        graft.codec.VarByte.write(out, (if (i == 0) a(0) else a(i) - prev).toLong)
+        prev = a(i)
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  private val EmptyBytes = Array.empty[Byte]
 
   /** Doc-local (term -> tf, positions) aggregation; positions ascend by
     * construction (single left-to-right pass, ≙ ActiveBlock::push appending
@@ -52,23 +86,35 @@ object IndexBuilder {
   def termEntriesUdf(withPositions: Boolean): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
       val ts = Tokenize.tokenizeScala(if (text == null) "" else text)
-      val m = new java.util.HashMap[String, ArrayBuffer[Int]]()
+      val m = new java.util.HashMap[String, IntBuf]()
       var i = 0
       while (i < ts.length) {
         var b = m.get(ts(i))
-        if (b == null) { b = new ArrayBuffer[Int](4); m.put(ts(i), b) }
-        b += i
+        if (b == null) { b = new IntBuf(4); m.put(ts(i), b) }
+        b.add(i)
         i += 1
       }
       val out = new ArrayBuffer[TermEntry](m.size())
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        out += TermEntry(e.getKey, e.getValue.length,
-          if (withPositions) e.getValue.toSeq else Nil)
+        out += TermEntry(e.getKey, e.getValue.n,
+          if (withPositions) e.getValue.toPacked else EmptyBytes)
       }
       out.toSeq
     }
+
+  /** Per-phase build timing, printed when GRAFT_BUILD_TIMING is set —
+    * observability for exactly the "which stage stopped scaling" question.
+    */
+  private def phase[T](name: String)(f: => T): T = {
+    if (sys.env.contains("GRAFT_BUILD_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[build-phase] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else f
+  }
 
   def segmentsPath(dir: String) = s"$dir/segments"
   def normsPath(dir: String) = s"$dir/norms"
@@ -144,6 +190,7 @@ object IndexBuilder {
       ($"docId" / lit(dps)).cast(LongType).as("segId"),
       termEntriesUdf(withPositions)($"text").as("es"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phase("tokenize+persist")(entries.count())
 
     // ---- forward map + norms: dl = sum of tfs, no re-tokenize ------------
     val docdl = entries.select($"docId", $"key",
@@ -151,16 +198,16 @@ object IndexBuilder {
         lit(0)).cast(IntegerType).as("dl"),
       $"ts", $"segId")
 
-    docdl.select($"docId", $"key", $"dl", $"ts")
+    phase("docmeta-write")(docdl.select($"docId", $"key", $"dl", $"ts")
       .repartitionByRange(col("docId")).sortWithinPartitions("docId")
-      .write.mode("overwrite").parquet(s"${docmetaPath(dir)}/wave=$wave")
+      .write.mode("overwrite").parquet(s"${docmetaPath(dir)}/wave=$wave"))
 
     val normsDs: Dataset[SegmentNorms] = docdl
       .select($"docId", $"dl", $"segId", $"ts").as[DlRow]
       .repartition(col("segId")).sortWithinPartitions("segId", "docId")
       .mapPartitions(encodeNormRuns(_, wave))
-    normsDs.toDF().drop("wave") // wave comes back as the partition dir column
-      .write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave")
+    phase("norms-write")(normsDs.toDF().drop("wave") // wave comes back as the partition dir column
+      .write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave"))
 
     // ---- postings: one row per distinct (doc, term) into the single
     // shuffle (repartition by term+segId) — no per-token exchange exists
@@ -168,16 +215,16 @@ object IndexBuilder {
     val tfpos = entries
       .select($"docId", $"segId", explode($"es").as("e"))
       .select($"e.term".as("term"), $"docId", $"e.tf".as("tf"),
-        $"e.positions".as("positions"), $"segId")
+        $"e.pos".as("pos"), $"segId")
 
     val segDs: Dataset[SegmentPosting] = tfpos
       .repartition(col("term"), col("segId"))
       .sortWithinPartitions("term", "segId", "docId")
       .as[TfRow]
       .mapPartitions(encodePostingRuns(_, wave, blockSize, withPositions))
-    segDs.toDF()
+    phase("postings-write")(segDs.toDF()
       .write.mode("overwrite").partitionBy("wave")
-      .parquet(segmentsPath(dir) + s"/.tmpwave$wave")
+      .parquet(segmentsPath(dir) + s"/.tmpwave$wave"))
     // partitionBy writes under .tmpwaveN/wave=N; move into place so all waves
     // share one partitioned root without dynamic-overwrite semantics. A
     // zero-posting wave (empty/token-free corpus) produces no partition dir
@@ -251,18 +298,18 @@ object IndexBuilder {
       val segId = head.segId
       val docs = new ArrayBuffer[Long]()
       val tfs = new ArrayBuffer[Int]()
-      val poss = if (withPositions) new ArrayBuffer[Array[Int]]() else null
+      val poss = if (withPositions) new ArrayBuffer[Array[Byte]]() else null
       var tfSum = 0L
       var maxTf = 0
       while (buf.hasNext && buf.head.term == term && buf.head.segId == segId) {
         val r = buf.next()
         docs += r.docId
         tfs += r.tf
-        if (withPositions) poss += r.positions.toArray
+        if (withPositions) poss += r.pos
         tfSum += r.tf
         if (r.tf > maxTf) maxTf = r.tf
       }
-      val blocks = PostingCodec.encode(docs.toArray, tfs.toArray,
+      val blocks = PostingCodec.encodePacked(docs.toArray, tfs.toArray,
         if (withPositions) poss.toArray else null, blockSize)
       SegmentPosting(term, wave, segId, docs.length.toLong, tfSum, maxTf, blocks)
     }

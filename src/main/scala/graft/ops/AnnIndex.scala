@@ -58,6 +58,12 @@ object AnnIndex {
     val buckets = Similarity.signBuckets(col(vecCol), tables, planes, seed, dim)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         posexplode(buckets).as(Seq("tbl", "bucket")))
+      // co-locate each (tbl, bucket) before the partitioned write: without
+      // this every input split would write a file into every bucket dir
+      // (splits x tables x 2^planes tiny files). At production scale add an
+      // intra-bucket split key (e.g. pmod(hash(id), splitsPerBucket)) to
+      // this repartition so hot buckets span several writers/files.
+      .repartition(col("tbl"), col("bucket"))
       .write.mode("overwrite").partitionBy("tbl", "bucket")
       .parquet(dataPath(dir))
     writeParams(spark, dir, Params(dim, tables, planes, seed))

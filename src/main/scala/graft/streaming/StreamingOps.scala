@@ -17,10 +17,30 @@ object StreamingOps {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The production streaming form: watermarked tumbling-window aggregation
+    * over an event stream, returned as an unstarted streaming DataFrame for
+    * the caller to sink (update mode + an incremental sink — kafka/delta/
+    * foreachBatch; each window finalizes once the watermark passes it).
+    * [[windowedEventCounts]] below wraps this with a complete-mode memory
+    * sink, which materializes ALL windows on the driver — that form is the
+    * ORACLE SHIM for bounded test inputs, not a production path.
+    */
+  def windowedEventCountsStream(events: DataFrame, windowSec: Int = 300,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("n"), col("total"))
+
   /** Tumbling-window counts over the events stream, run synchronously to
     * completion against a static parquet path (memory sink). Window start
     * is returned as epoch seconds so batch/oracle comparisons are
-    * timezone-free.
+    * timezone-free. Harness-grade by construction (complete output mode,
+    * driver-bound memory sink) — see [[windowedEventCountsStream]] for the
+    * scale path.
     */
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
       windowSec: Int = 300): DataFrame = {
@@ -36,14 +56,9 @@ object StreamingOps {
       }
     }
     val stream = spark.readStream.schema(schema).parquet(streamPath)
-    val agg = stream
-      // parquet NTZ timestamps -> session-TZ (UTC) instants for watermarking
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
-      .select(unix_timestamp(col("window.start")).as("ws"),
-        col("event_type"), col("n"), col("total"))
+    // the cast inside windowedEventCountsStream also converts parquet NTZ
+    // timestamps to session-TZ (UTC) instants for watermarking
+    val agg = windowedEventCountsStream(stream, windowSec)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName(name).start()

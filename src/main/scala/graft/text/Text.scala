@@ -32,10 +32,56 @@ object Tokenize {
 
   private val compiled = java.util.regex.Pattern.compile(SplitPattern)
 
-  /** Pure-Scala twin of [[col]]: identical output for any input. */
-  def tokenizeScala(s: String): Array[String] =
+  /** Reference implementation (regex): kept for the equivalence property
+    * test; [[tokenizeScala]] below is the hand-rolled hot-path twin.
+    */
+  private[graft] def tokenizeRegex(s: String): Array[String] =
     compiled.split(s, -1).filter(_.nonEmpty)
       .map(_.toLowerCase(java.util.Locale.ROOT))
+
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
+
+  /** Pure-Scala twin of [[col]]: identical output for any input.
+    *
+    * Hand-rolled single-pass scanner, not `Pattern.split` — tokenization is
+    * the hottest stage of the whole build (~107 CPU-seconds per 1M docs in
+    * the regex form), and the spec is plain ASCII-alnum runs: every
+    * non-[A-Za-z0-9] char (including all non-ASCII) is a separator, and
+    * lowercasing pure-ASCII tokens is the +32 shift, byte-identical to
+    * `toLowerCase(Locale.ROOT)` on this character class (equivalence to the
+    * regex form is property-tested in RobustnessSpec).
+    */
+  def tokenizeScala(s: String): Array[String] = {
+    if (s == null || s.isEmpty) return Array.empty
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](n / 6 + 1)
+    var i = 0
+    while (i < n) {
+      if (isAlnum(s.charAt(i))) {
+        val start = i
+        var hasUpper = false
+        var c = s.charAt(i)
+        while (isAlnum(c)) {
+          if (c >= 'A' && c <= 'Z') hasUpper = true
+          i += 1
+          if (i < n) c = s.charAt(i) else c = ' '
+        }
+        if (!hasUpper) out += s.substring(start, i)
+        else {
+          val buf = new Array[Char](i - start)
+          var j = start
+          while (j < i) {
+            val ch = s.charAt(j)
+            buf(j - start) = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+            j += 1
+          }
+          out += new String(buf)
+        }
+      } else i += 1
+    }
+    out.toArray
+  }
 }
 
 /** Deterministic html -> text extraction (spec v1).

@@ -49,7 +49,7 @@ class PlanSpec extends SparkSpec {
       .select(col("docId"),
         explode(IndexBuilder.termEntriesUdf(true)(col("text"))).as("e"))
       .select(col("e.term").as("term"), col("docId"), col("e.tf").as("tf"),
-        col("e.positions").as("positions"),
+        col("e.pos").as("pos"),
         (col("docId") / lit(128)).cast("long").as("segId"))
       .repartition(col("term"), col("segId"))
       .sortWithinPartitions("term", "segId", "docId")

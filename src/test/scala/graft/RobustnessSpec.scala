@@ -26,6 +26,23 @@ class RobustnessSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == want)
   }
 
+  test("hand-rolled tokenizer is byte-identical to the regex reference (property)") {
+    // seeded random strings mixing ASCII alnum, punctuation, unicode,
+    // surrogate pairs and case — the fast scanner must equal the regex form
+    val alphabet = "aZ09 \t.,;!-_/\\\"'é中😀xQ3"
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val s = (0 until rnd.nextInt(60)).map(_ =>
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      assert(Tokenize.tokenizeScala(s).toSeq == Tokenize.tokenizeRegex(s).toSeq,
+        s"input=${s.map(_.toInt).mkString(",")}")
+    }
+    // boundary shapes
+    for (s <- Seq("", "a", "A", "1", ".", "..a..", "a.", ".a", "ABC123xyz",
+        "😀", "a😀b"))
+      assert(Tokenize.tokenizeScala(s).toSeq == Tokenize.tokenizeRegex(s).toSeq, s)
+  }
+
   test("html extractor survives malformed markup") {
     assert(HtmlText.extract("<p>unclosed") == "unclosed")
     assert(HtmlText.extract("no tags at all") == "no tags at all")
