@@ -142,22 +142,31 @@ object ScalingProbe {
     """"sec":([0-9.]+)""".r.findFirstMatchIn(marker.get).get.group(1).toDouble
   }
 
-  /** Interleaved min-of-reps throughput per executor count (docs/sec). */
-  def run(cores: Seq[Int], docs: Long, reps: Int,
-      tmp: String): Map[Int, Double] = {
-    val best = scala.collection.mutable.Map.empty[Int, Double]
-    (0 until reps).foreach { r =>
-      cores.foreach { c =>
+  /** Interleaved per-rep wall seconds: result(rep)(execCount) = sec. The
+    * two configs of one rep run back-to-back and so share the host's noise
+    * phase — per-rep efficiency pairs like with like, where pairing the
+    * global minima can cross a lucky low-parallelism run with an unlucky
+    * high-parallelism one (host noise is one-sided: it only slows runs).
+    */
+  def runDetailed(cores: Seq[Int], docs: Long, reps: Int,
+      tmp: String): Vector[Map[Int, Double]] =
+    (0 until reps).map { r =>
+      cores.map { c =>
         val sec = buildInChild(c, docs, s"$tmp/c$c-r$r")
         println(f"""{"execs":$c,"rep":$r,"docs":$docs,"sec":$sec%.1f,"docs_per_sec":${docs / sec}%.1f}""")
-        best(c) = math.min(best.getOrElse(c, Double.MaxValue), sec)
-      }
-    }
-    best.map { case (c, sec) => c -> docs / sec }.toMap
+        c -> sec
+      }.toMap
+    }.toVector
+
+  /** Min-of-reps throughput per executor count (docs/sec). */
+  def run(cores: Seq[Int], docs: Long, reps: Int,
+      tmp: String): Map[Int, Double] = {
+    val detailed = runDetailed(cores, docs, reps, tmp)
+    cores.map(c => c -> docs / detailed.map(_(c)).min).toMap
   }
 
   def main(args: Array[String]): Unit = {
-    val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1200000").toLong
+    val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     val cores = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4)
     // tmpfs output: on one box the disk is shared across all executor
@@ -169,11 +178,13 @@ object ScalingProbe {
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val tmp = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-scale").toString
     try {
-      val tp = run(cores, docs, reps, tmp)
+      val detailed = runDetailed(cores, docs, reps, tmp)
       val lo = cores.head
       val hi = cores.last
-      val eff = (tp(hi) / tp(lo)) / (hi.toDouble / lo)
-      println(f"""{"docs":$docs,"reps":$reps,"best_docs_per_sec":{${cores.map(c => s""""$c":${tp(c).round}""").mkString(",")}},"efficiency_${lo}_to_$hi":$eff%.3f}""")
+      val tp = cores.map(c => c -> docs / detailed.map(_(c)).min).toMap
+      val perRep = detailed.map(m => (m(lo) / m(hi)) / (hi.toDouble / lo)).sorted
+      val eff = perRep(perRep.size / 2)
+      println(f"""{"docs":$docs,"reps":$reps,"best_docs_per_sec":{${cores.map(c => s""""$c":${tp(c).round}""").mkString(",")}},"per_rep_efficiency":[${perRep.map(e => f"$e%.3f").mkString(",")}],"efficiency_${lo}_to_$hi":$eff%.3f}""")
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
