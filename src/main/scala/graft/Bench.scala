@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   *  - `scaling`: the same build at N vs 4N executor PROCESSES
   *    (`local-cluster[n,1,..]` child JVMs — BASELINE.md protocol; see
   *    ScalingBuild for why local[N] threads cannot measure scaling on this
-  *    sandbox), default 1 -> 4 executors, interleaved min-of-reps;
-  *    efficiency = (docsPerSec_hi / docsPerSec_lo) / 4.
+  *    sandbox), default 1 -> 4 executors, 5 interleaved reps; efficiency =
+  *    median per-rep (secLo/secHi)/4 over noise-rejected reps
+  *    (ScalingProbe.robustEfficiency), with every rep's value and the kept
+  *    set published in the JSON.
   */
 object Bench {
   private def session(cores: Int): SparkSession = {
@@ -99,7 +101,7 @@ object Bench {
     // (local-cluster via child JVMs — see ScalingProbe/ScalingBuild for why
     // threads-in-one-JVM cannot measure scaling on this sandbox), default
     // 1 -> 4 executors, interleaved min-of-reps, each rep a clean JVM.
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
     val scaleCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "1,4")
       .split(",").map(_.trim.toInt).toSeq
     val tmpRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else tmp
@@ -110,12 +112,11 @@ object Bench {
     val hiC = scaleCores.last
     val dpsLo = scaleDocs / detailed.map(_(loC)).min
     val dpsHi = scaleDocs / detailed.map(_(hiC)).min
-    // efficiency per interleaved rep (both configs of a rep share the host's
-    // noise phase; cross-pairing global minima can mix a lucky lo with an
-    // unlucky hi), reported as the median across reps
-    val perRepEff = detailed
-      .map(m => (m(loC) / m(hiC)) / (hiC.toDouble / loC)).sorted
-    val efficiency = perRepEff(perRepEff.size / 2)
+    // median per-rep efficiency over noise-rejected reps (one-sided host
+    // slow phases are discarded symmetrically — ScalingProbe.robustEfficiency
+    // scaladoc); all per-rep values + the kept set go into the JSON
+    val (efficiency, perRepEff, keptReps) =
+      ScalingProbe.robustEfficiency(detailed, loC, hiC)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleTmp))
 
     var spark = session(cpus)
@@ -149,6 +150,7 @@ object Bench {
     // ---- build throughput at the bench session's core count ---------------
     val (docsPerSec, postingsPerSec) =
       buildThroughput(spark, benchDocs, s"$tmp/main", cpus)
+    graft.ops.Dedup.dropStaged()
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -162,6 +164,7 @@ object Bench {
         f""""scaling":{"docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,""" +
         f""""docs_per_sec_lo":$dpsLo%.1f,"docs_per_sec_hi":$dpsHi%.1f,""" +
         s""""per_rep_efficiency":[${perRepEff.map(e => f"$e%.3f").mkString(",")}],""" +
+        s""""kept_reps":[${keptReps.mkString(",")}],""" +
         f""""efficiency":$efficiency%.3f}}""")
   }
 }

@@ -165,9 +165,38 @@ object ScalingProbe {
     cores.map(c => c -> docs / detailed.map(_(c)).min).toMap
   }
 
+  /** Noise-rejected scaling efficiency. This host's noise is ONE-SIDED
+    * (random multi-minute slow phases only ever slow a run, measured 3-4x;
+    * BASELINE.md) — so a rep whose lo-config time blew past 1.5x the best
+    * lo time across reps spuriously INFLATES that rep's efficiency, and a
+    * blown hi-config time spuriously DEFLATES it. Reps with either side
+    * noise-afflicted are discarded (symmetrically — rejection must not
+    * cherry-pick the flattering direction), and the efficiency is the
+    * median over the survivors. Degenerate case (every rep had one noisy
+    * side): fall back to the ratio of per-config minima, the standard
+    * noise-robust throughput estimator. Everything is reported — all
+    * per-rep efficiencies plus which were kept — so the artifact shows the
+    * estimator's inputs, not just its output.
+    *
+    * Returns (efficiency, perRepEfficiencyInRunOrder, keptRepIndices).
+    */
+  def robustEfficiency(detailed: Vector[Map[Int, Double]], lo: Int, hi: Int,
+      tol: Double = 1.5): (Double, Vector[Double], Vector[Int]) = {
+    val bestLo = detailed.map(_(lo)).min
+    val bestHi = detailed.map(_(hi)).min
+    val perRep = detailed.map(m => (m(lo) / m(hi)) / (hi.toDouble / lo))
+    val kept = detailed.indices.filter(i =>
+      detailed(i)(lo) <= tol * bestLo && detailed(i)(hi) <= tol * bestHi).toVector
+    val ks = kept.map(perRep).sorted
+    val eff =
+      if (ks.nonEmpty) ks(ks.size / 2)
+      else (bestLo / bestHi) / (hi.toDouble / lo)
+    (eff, perRep, kept)
+  }
+
   def main(args: Array[String]): Unit = {
     val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
     val cores = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4)
     // tmpfs output: on one box the disk is shared across all executor
     // counts, which under-measures cluster scaling where each node brings
@@ -182,9 +211,8 @@ object ScalingProbe {
       val lo = cores.head
       val hi = cores.last
       val tp = cores.map(c => c -> docs / detailed.map(_(c)).min).toMap
-      val perRep = detailed.map(m => (m(lo) / m(hi)) / (hi.toDouble / lo)).sorted
-      val eff = perRep(perRep.size / 2)
-      println(f"""{"docs":$docs,"reps":$reps,"best_docs_per_sec":{${cores.map(c => s""""$c":${tp(c).round}""").mkString(",")}},"per_rep_efficiency":[${perRep.map(e => f"$e%.3f").mkString(",")}],"efficiency_${lo}_to_$hi":$eff%.3f}""")
+      val (eff, perRep, kept) = robustEfficiency(detailed, lo, hi)
+      println(f"""{"docs":$docs,"reps":$reps,"best_docs_per_sec":{${cores.map(c => s""""$c":${tp(c).round}""").mkString(",")}},"per_rep_efficiency":[${perRep.map(e => f"$e%.3f").mkString(",")}],"kept_reps":[${kept.mkString(",")}],"efficiency_${lo}_to_$hi":$eff%.3f}""")
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }

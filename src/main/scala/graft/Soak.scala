@@ -31,6 +31,49 @@ object Soak {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // ---- SPARK_GRAFT_SOAK_RESUME=1: crash-resume equivalence AT SCALE ----
+    // (BuildSpec proves this at 2k docs; this mode proves it at soak size.)
+    // Scenario: a build dies after wave-1 DATA is written but before the
+    // manifest commit. Resume = plain append: it must clean the stale
+    // uncommitted files and recommit, leaving segments content-identical to
+    // a never-crashed two-wave build. Hash covers every posting byte.
+    if (sys.env.get("SPARK_GRAFT_SOAK_RESUME").contains("1")) {
+      val opts = IndexOptions(docsPerSegment = 1L << 14, withPositions = withPos)
+      val p0r = Pages.generate(spark, wave0N, 32)
+      val d0r = IndexBuilder.assignDocIds(spark, p0r, "url", 0L, 32)
+        .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
+      val p1r = Pages.generate(spark, total, 32).where(col("warc_ts") >
+        p0r.agg(max(col("warc_ts"))).head().getTimestamp(0))
+      val d1r = IndexBuilder.assignDocIds(spark, p1r, "url", wave0N, 32)
+        .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
+      val dirA = s"$dir-resumeA"
+      val dirB = s"$dir-resumeB"
+      val (_, cleanSec) = t {
+        IndexBuilder.build(spark, d0r, dirA, opts)
+        IndexBuilder.append(spark, d1r, dirA)
+      }
+      val (_, crashSec) = t {
+        IndexBuilder.build(spark, d0r, dirB, opts)
+        // crash: a partial wave 1 (30% of its docs) written, never committed
+        IndexBuilder.buildWave(spark,
+          d1r.where(col("docId") < wave0N + (total - wave0N) * 3 / 10),
+          dirB, 1, opts, None, None)
+        require(ManifestIO.read(dirB).waves.map(_.wave) == List(0))
+        IndexBuilder.append(spark, d1r, dirB) // resume
+      }
+      def contentHash(d: String): Long = new Searcher(spark, d).segments
+        .select(hash(col("term"), col("wave"), col("segId"), col("df"),
+          col("tf"), col("maxTf"), col("blocks")).cast("long").as("h"))
+        .agg(sum(col("h"))).head().getLong(0)
+      val ha = contentHash(dirA)
+      val hb = contentHash(dirB)
+      require(ha == hb, s"resume produced different segments: $ha vs $hb")
+      println(f"""{"soak_resume_docs":$total,"match":true,""" +
+        f""""segments_hash":$ha,"clean_sec":$cleanSec%.1f,"crash_resume_sec":$crashSec%.1f}""")
+      spark.stop()
+      return
+    }
+
     // wave 0: pages [0, wave0N) — warc_ts is monotone in i, so splitting by
     // generator index keeps wave time ranges disjoint (append discipline)
     val p0 = Pages.generate(spark, wave0N, 32)

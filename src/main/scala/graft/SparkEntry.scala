@@ -109,23 +109,38 @@ object SparkEntry {
     * unfetched doc then rounds strictly lower and cannot enter the top-k),
     * or until the match set is exhausted.
     */
+  /** Widening rounded-tie top-k (shared by q06/q15/q16/q24 oracle shims):
+    * `fetch(n)` returns the top n (id, roundedScore) rows already ordered
+    * (roundedScore desc, id asc). Keep the top k only when the k-th rounded
+    * score strictly exceeds the LOWEST fetched one (rounding is monotone, so
+    * every unfetched row then rounds strictly lower and cannot enter the
+    * top-k) or the candidate set is exhausted; otherwise grow the fetch. A
+    * fixed +slack fetch would diverge from the oracle whenever more than
+    * `slack` rows tie at the rounded k-th boundary.
+    */
+  private def roundedTopK(fetch: Int => Array[(Long, Double)],
+      k: Int): Seq[(Long, Double)] = {
+    var slack = 16
+    var out: Seq[(Long, Double)] = null
+    while (out == null) {
+      val rows = fetch(k + slack)
+      val exhausted = rows.length < k + slack
+      val safe = rows.length <= k || rows(k - 1)._2 > rows.last._2
+      if (exhausted || safe) out = rows.take(k).toSeq
+      else slack *= 4
+    }
+    out
+  }
+
   private[graft] def bm25Rounded(spark: SparkSession, sfDir: String,
       terms: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
     val s = IndexCache.searcher(spark, sfDir)
-    var slack = 16
-    var out: Seq[(Long, Double)] = null
-    while (out == null) {
-      val rows = s.bm25(terms, k + slack)
-        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val exhausted = rows.length < k + slack
-      val safe = rows.length <= k || rows(k - 1)._2 > rows.last._2
-      if (exhausted || safe) out = rows.take(k)
-      else slack *= 4
-    }
-    out.toDF("doc_id", "score")
+    roundedTopK(n => s.bm25(terms, n)
+      .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))), k)
+      .toDF("doc_id", "score")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -189,25 +204,34 @@ object SparkEntry {
         .where(col("cos") >= 0.4)
     }),
     "q15_ann_topk" -> ((s, dir) => {
+      import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      Similarity.bruteTopK(emb, "vec_id", "embedding", q, 20, excludeId = Some(0L))
-        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
+      roundedTopK(n =>
+        Similarity.bruteTopK(emb, "vec_id", "embedding", q, n, excludeId = Some(0L))
+          .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))), 10)
+        .toDF("vec_id", "cos")
     }),
     // persisted bucket-partitioned LSH index; with 16 tables the candidate
     // set provably contains the true top-10 on this corpus, so the exact
-    // brute-force SQL is a hard oracle for the whole index path
+    // brute-force SQL is a hard oracle for the whole index path. Same
+    // rounded-tie widening as q06/q15 (a fixed top-20 fetch would diverge on
+    // >10 ties at the rounded 10th score); the exhausted-exit is the LSH
+    // candidate set running dry, at which point everything it holds is kept.
     "q16_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      graft.ops.AnnIndex.topK(s, IndexCache.ann(s, dir), q, 20, excludeId = Some(0L))
-        .select(col("id").as("vec_id"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
+      roundedTopK(n =>
+        graft.ops.AnnIndex.topK(s, IndexCache.ann(s, dir), q, n, excludeId = Some(0L))
+          .select(col("id").as("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))), 10)
+        .toDF("vec_id", "cos")
     }),
     // ---- text analysis ---------------------------------------------------
     "q17_text_tokens" -> ((s, dir) =>
@@ -232,8 +256,11 @@ object SparkEntry {
           .select(col("doc_id"),
             Multimodal.synthPayload(col("doc_id"), col("text")).as("payload")),
         "doc_id", "payload").toDF()),
+    // production shape: update-mode watermarked agg -> foreachBatch parquet
+    // change log -> compaction (NOT the complete-mode memory-sink shim,
+    // which only StreamingSpec uses as a cross-check helper)
     "q22_stream_window" -> ((s, dir) =>
-      StreamingOps.windowedEventCounts(s, s"$dir/events.parquet")),
+      StreamingOps.windowedEventCountsIncremental(s, s"$dir/events.parquet")),
     "q23_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.batch(s.read.parquet(s"$dir/events.parquet")).toDF()),
     // ---- doc resolution: query result -> forward map (url/key) -----------

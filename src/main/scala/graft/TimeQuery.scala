@@ -24,11 +24,16 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names; r <- 1 to reps) {
       val fn = SparkEntry.queries(name)
+      val s0 = graft.index.Searcher.scoredCount.sum()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[timequery] $name rep$r rows=$n sec=$sec%.2f")
+      val scored = graft.index.Searcher.scoredCount.sum() - s0
+      // `scored` = exact BM25 scorings this rep (local-mode pruning
+      // diagnostic; 0 for non-BM25 queries)
+      println(f"[timequery] $name rep$r rows=$n sec=$sec%.2f scored=$scored")
     }
+    graft.ops.Dedup.dropStaged()
     spark.stop()
   }
 }

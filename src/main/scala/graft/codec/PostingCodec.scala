@@ -64,12 +64,18 @@ object VarByte {
   *  - `posBytes`: optional per-posting position list: varbyte count, then
   *    delta-encoded positions (first absolute, then gaps). Empty array when
   *    the index is built without positions.
-  *  - `maxDocId` / `maxTf`: block-max metadata for skipping / WAND upper
-  *    bounds.
+  *  - `maxDocId` / `maxTf` / `minDl`: block-max metadata for skipping /
+  *    WAND upper bounds. `minDl` is the minimum document length among the
+  *    block's postings: BM25 decreases in dl, so
+  *    `idf·maxTf(k1+1)/(maxTf + k1(1−b+b·minDl/avgdl))` upper-bounds every
+  *    score in the block — materially tighter than the dl-free bound
+  *    (minDl = 0, the sound fallback when lengths are unknown, e.g. blocks
+  *    re-encoded during compaction without per-posting dls).
   */
 final case class PBlock(
     maxDocId: Long,
     maxTf: Int,
+    minDl: Int,
     n: Int,
     docBytes: Array[Byte],
     tfBytes: Array[Byte],
@@ -183,13 +189,17 @@ object PostingCodec {
   /** Encode one posting run (a single term within a single segment) into
     * fixed-size blocks. `docIds` must be strictly ascending; `tfs` parallel;
     * `positions(i)` (may be null/empty when positions are disabled) must be
-    * strictly ascending token offsets.
+    * strictly ascending token offsets. `dls` (parallel document lengths, may
+    * be null) feeds each block's `minDl` WAND bound; when absent,
+    * `defaultMinDl` is stamped instead (0 = the loosest sound bound).
     */
   def encode(
       docIds: Array[Long],
       tfs: Array[Int],
       positions: Array[Array[Int]],
-      blockSize: Int = BlockSize): Array[PBlock] = {
+      blockSize: Int = BlockSize,
+      dls: Array[Int] = null,
+      defaultMinDl: Int = 0): Array[PBlock] = {
     val nBlocks = (docIds.length + blockSize - 1) / blockSize
     val out = new Array[PBlock](nBlocks)
     var b = 0
@@ -212,10 +222,12 @@ object PostingCodec {
         }
       }
       var maxTf = 0
+      var minDl = if (dls == null) defaultMinDl else Int.MaxValue
       var i = start
       while (i < end) {
         VarByte.write(tfBuf, tfs(i).toLong)
         if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (dls != null && dls(i) < minDl) minDl = dls(i)
         if (blockHasPos) {
           val ps = positions(i)
           if (ps == null || ps.isEmpty) VarByte.write(posBuf, 0L)
@@ -233,7 +245,7 @@ object PostingCodec {
         }
         i += 1
       }
-      out(b) = PBlock(docIds(end - 1), maxTf, end - start,
+      out(b) = PBlock(docIds(end - 1), maxTf, minDl, end - start,
         docBytes, tfBuf.toArray, posBuf.toArray)
       b += 1
     }
@@ -255,7 +267,8 @@ object PostingCodec {
       docIds: Array[Long],
       tfs: Array[Int],
       posBytes: Array[Array[Byte]],
-      blockSize: Int = BlockSize): Array[PBlock] = {
+      blockSize: Int = BlockSize,
+      dls: Array[Int] = null): Array[PBlock] = {
     val nBlocks = (docIds.length + blockSize - 1) / blockSize
     val out = new Array[PBlock](nBlocks)
     var b = 0
@@ -274,10 +287,12 @@ object PostingCodec {
         }
       }
       var maxTf = 0
+      var minDl = if (dls == null) 0 else Int.MaxValue
       var i = start
       while (i < end) {
         VarByte.write(tfBuf, tfs(i).toLong)
         if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (dls != null && dls(i) < minDl) minDl = dls(i)
         if (blockHasPos) {
           val pb = posBytes(i)
           if (pb == null || pb.isEmpty) VarByte.write(posBuf, 0L)
@@ -288,7 +303,7 @@ object PostingCodec {
         }
         i += 1
       }
-      out(b) = PBlock(docIds(end - 1), maxTf, end - start,
+      out(b) = PBlock(docIds(end - 1), maxTf, minDl, end - start,
         docBytes, tfBuf.toArray, posBuf.toArray)
       b += 1
     }

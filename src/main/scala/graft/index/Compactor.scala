@@ -93,11 +93,15 @@ object Compactor {
         val df = rs.map(_.df).sum
         // repack when wave boundaries left the run fragmented (avg fill
         // below half a block): decode+re-encode restores full blocks so
-        // query-time block skipping stays effective after many appends
+        // query-time block skipping stays effective after many appends.
+        // Per-posting dls are not stored, so repacked blocks inherit the
+        // min of the source blocks' minDl — sound (it lower-bounds every
+        // dl in the union) though looser than a fresh per-block min.
         val repacked =
           if (blocks.length > 1 && df < blocks.length.toLong * blockSize / 2) {
             val d = graft.codec.PostingCodec.decodeRun(blocks.toSeq)
-            graft.codec.PostingCodec.encode(d.docIds, d.tfs, d.positions, blockSize)
+            graft.codec.PostingCodec.encode(d.docIds, d.tfs, d.positions,
+              blockSize, defaultMinDl = blocks.iterator.map(_.minDl).min)
           } else blocks
         SegmentPosting(term, newWave, segId,
           df, rs.map(_.tf).sum, rs.map(_.maxTf).max, repacked)

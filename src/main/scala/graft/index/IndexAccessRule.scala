@@ -15,11 +15,26 @@ import org.apache.spark.unsafe.types.UTF8String
 object IndexRegistry {
   final case class Entry(indexDir: String, idCol: String, textCol: String)
   private val entries = scala.collection.concurrent.TrieMap.empty[String, Entry]
+  // Searchers memoized per index dir: constructing one reads the manifest
+  // and pins its wave set, so building a fresh one on EVERY rule application
+  // (each spark.sql over a registered corpus) pays a per-query manifest read
+  // + file-listing planning tax. The cache is dropped whenever the registry
+  // changes (register/clear/invalidate) — which is also the refresh point
+  // after appending waves to a registered index.
+  private val searchers = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
   def register(tablePath: String, indexDir: String, idCol: String,
-      textCol: String = "text"): Unit =
+      textCol: String = "text"): Unit = {
     entries.put(normalize(tablePath), Entry(indexDir, idCol, textCol))
-  def clear(): Unit = entries.clear()
+    searchers.clear()
+  }
+  def clear(): Unit = { entries.clear(); searchers.clear() }
+  /** Drop memoized searchers (call after appending/compacting a registered
+    * index so the next query re-reads the manifest).
+    */
+  def invalidate(): Unit = searchers.clear()
+  private[index] def searcherFor(spark: SparkSession, indexDir: String): Searcher =
+    searchers.getOrElseUpdate(indexDir, new Searcher(spark, indexDir))
   def lookup(paths: Seq[String]): Option[Entry] =
     paths.map(normalize).flatMap(p => entries.collectFirst {
       // path-component prefix: /data/corpus must NOT match /data/corpus_v2
@@ -88,7 +103,7 @@ class IndexAccessRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // residual = every conjunct NOT rewritten (incl. graft_match on
           // other columns, null-literal terms, non-literal terms)
           val rewrittenSet = rewritable.map(_._1).toSet[Expression]
-          val searcher = new Searcher(spark, entry.indexDir)
+          val searcher = IndexRegistry.searcherFor(spark, entry.indexDir)
           val joined = rewritable.map(_._2).foldLeft(child) { (acc, term) =>
             val lookupPlan = searcher.lookup(term).queryExecution.analyzed
             val docIdAttr = lookupPlan.output.head

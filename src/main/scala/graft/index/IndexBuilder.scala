@@ -39,9 +39,23 @@ import scala.collection.mutable.ArrayBuffer
   * block.rs:165-168).
   */
 object IndexBuilder {
-  val Version = 1
+  /** On-disk format version, stamped in the manifest and REQUIRED to match
+    * on read (ManifestIO.read fails fast on any other version — no silent
+    * misreads of foreign layouts). History:
+    *  - v1: round-1 layout (flat termstats dir, PBlock without minDl);
+    *  - v2: per-wave `termstats/wave=N` partitions (round 2 shipped this
+    *    layout without bumping — the version now records the break) and
+    *    per-block `minDl` WAND-bound metadata in segment blocks.
+    * v1 indexes must be rebuilt from the corpus (indexes are derived data).
+    */
+  val Version = 2
 
-  case class TfRow(term: String, docId: Long, tf: Int, pos: Array[Byte], segId: Long)
+  /** `tfDl` packs (dl << 32) | tf: the build shuffle is the hottest
+    * exchange in the pipeline, and both ints share one 8-byte UnsafeRow
+    * slot — carrying dl to the posting encoder (for per-block minDl WAND
+    * bounds) costs zero additional shuffle bytes vs the old bare-tf field.
+    */
+  case class TfRow(term: String, docId: Long, tfDl: Long, pos: Array[Byte], segId: Long)
   case class DlRow(docId: Long, dl: Int, segId: Long, ts: Long)
   /** One distinct term of one doc; `pos` is the delta+varbyte-packed gap
     * stream of its positions (count == tf; empty when positions disabled) —
@@ -211,10 +225,15 @@ object IndexBuilder {
 
     // ---- postings: one row per distinct (doc, term) into the single
     // shuffle (repartition by term+segId) — no per-token exchange exists
-    // anywhere in the pipeline.
+    // anywhere in the pipeline. dl rides in the high half of the tf slot
+    // (TfRow.tfDl) so the encoder can stamp per-block minDl for free.
     val tfpos = entries
-      .select($"docId", $"segId", explode($"es").as("e"))
-      .select($"e.term".as("term"), $"docId", $"e.tf".as("tf"),
+      .select($"docId", $"segId",
+        coalesce(aggregate($"es", lit(0), (acc, e) => acc + e.getField("tf")),
+          lit(0)).cast(LongType).as("dl"),
+        explode($"es").as("e"))
+      .select($"e.term".as("term"), $"docId",
+        shiftleft($"dl", 32).bitwiseOR($"e.tf".cast(LongType)).as("tfDl"),
         $"e.pos".as("pos"), $"segId")
 
     val segDs: Dataset[SegmentPosting] = tfpos
@@ -298,19 +317,22 @@ object IndexBuilder {
       val segId = head.segId
       val docs = new ArrayBuffer[Long]()
       val tfs = new ArrayBuffer[Int]()
+      val dls = new ArrayBuffer[Int]()
       val poss = if (withPositions) new ArrayBuffer[Array[Byte]]() else null
       var tfSum = 0L
       var maxTf = 0
       while (buf.hasNext && buf.head.term == term && buf.head.segId == segId) {
         val r = buf.next()
+        val tf = (r.tfDl & 0xffffffffL).toInt
         docs += r.docId
-        tfs += r.tf
+        tfs += tf
+        dls += (r.tfDl >>> 32).toInt
         if (withPositions) poss += r.pos
-        tfSum += r.tf
-        if (r.tf > maxTf) maxTf = r.tf
+        tfSum += tf
+        if (tf > maxTf) maxTf = tf
       }
       val blocks = PostingCodec.encodePacked(docs.toArray, tfs.toArray,
-        if (withPositions) poss.toArray else null, blockSize)
+        if (withPositions) poss.toArray else null, blockSize, dls.toArray)
       SegmentPosting(term, wave, segId, docs.length.toLong, tfSum, maxTf, blocks)
     }
   }

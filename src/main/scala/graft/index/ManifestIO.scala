@@ -47,9 +47,32 @@ object ManifestIO {
 
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, FileName))
 
+  /** Manifest reads per index dir in this JVM — a test observability hook
+    * (RuleSpec asserts Searcher memoization keeps repeated queries from
+    * re-reading manifests; per-dir so concurrently running suites don't
+    * perturb each other's counts).
+    */
+  private val readCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  def readCount(dir: String): Long = {
+    val c = readCounts.get(dir)
+    if (c == null) 0L else c.get()
+  }
+
   def read(dir: String): IndexManifest = {
+    readCounts.computeIfAbsent(dir,
+      _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
     val bytes = Files.readAllBytes(Paths.get(dir, FileName))
     val root = new ObjectMapper().readTree(bytes)
+    val ver = root.get("version").asInt()
+    // fail fast on any other format version: a v1 index has a flat (unpar-
+    // titioned) termstats dir and no per-block minDl, so reading it with
+    // this code would throw obscure schema errors deep in a query instead
+    // of a clear contract error here. Indexes are derived data — rebuild.
+    require(ver == IndexBuilder.Version,
+      s"index at $dir is format v$ver; this build reads/writes " +
+        s"v${IndexBuilder.Version} (v1 -> v2: per-wave termstats layout + " +
+        "per-block minDl metadata). Rebuild the index from the corpus.")
     val waves = root.get("waves").elements()
     val buf = scala.collection.mutable.ListBuffer.empty[WaveInfo]
     while (waves.hasNext) {

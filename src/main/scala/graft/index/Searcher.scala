@@ -104,20 +104,32 @@ class Searcher(val spark: SparkSession, val dir: String,
     * Small result sets (top-k, tag lookups) push the id set INTO the
     * docmeta scan: docmeta is range-partitioned + sorted by docId, so the
     * `isin` predicate becomes parquet row-group skipping — O(ids) I/O, not
-    * a full forward-map read. Larger results fall back to a shuffle join
-    * (which they genuinely need).
+    * a full forward-map read. On the small path the join's LEFT side is
+    * rebuilt from the SAME collected rows that produced the id set: running
+    * the `results` plan twice would let a nondeterministic input (e.g.
+    * `limit` without `orderBy`) produce join rows whose ids were never
+    * collected, silently resolving them to nulls. Larger results fall back
+    * to a shuffle join over the original plan (which they genuinely need;
+    * such inputs must be deterministic, as with any Spark reuse).
     */
   def resolve(results: DataFrame, idCol: String = "docId",
       broadcastLimit: Int = 4096): DataFrame = {
     val meta = docMeta.select(col("docId").as("__rid"), col("key"), col("ts"))
-    val ids = results.select(col(idCol).cast("long"))
-      .limit(broadcastLimit + 1).collect().map(_.getLong(0))
+    val head = results.limit(broadcastLimit + 1).collect()
     val joined =
-      if (ids.length <= broadcastLimit)
-        results.join(
+      if (head.length <= broadcastLimit) {
+        val idIdx = results.schema.fieldIndex(idCol)
+        val ids = head.map(r => r.get(idIdx) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case o => o.toString.toLong
+        })
+        val left = spark.createDataFrame(
+          java.util.Arrays.asList(head: _*), results.schema)
+        left.join(
           broadcast(meta.where(col("__rid").isin(ids.toSeq: _*))),
-          results(idCol) === col("__rid"), "left")
-      else
+          left(idCol) === col("__rid"), "left")
+      } else
         results.join(meta, results(idCol) === col("__rid"), "left")
     joined.drop("__rid")
   }
@@ -281,6 +293,14 @@ class Searcher(val spark: SparkSession, val dir: String,
 }
 
 object Searcher {
+  /** Exact BM25 scorings performed by wandSegment in this JVM — a pruning
+    * diagnostic (TimeQuery prints it to quantify how much work the
+    * block-max bounds skip). Meaningful in local mode only: on a real
+    * cluster each executor JVM owns its own counter and nothing collects
+    * them (deliberately — a per-doc accumulator would tax the hot loop).
+    */
+  val scoredCount = new java.util.concurrent.atomic.LongAdder()
+
   /** Concatenate posting runs of one (term, segId) across waves (wave order
     * = ascending docIds; reference rebase invariant) and decode docIds.
     */
@@ -353,13 +373,26 @@ object Searcher {
   /** Per-term cursor over the compressed blocks of one segment run, with
     * block-level skipping on `maxDocId` (≙ BlockHeader per-tag offsets,
     * /root/reference/src/storage/block.rs:27-37: seek without full decode).
+    *
+    * Upper bounds use each block's (maxTf, minDl) metadata: BM25 rises in
+    * tf and falls in dl, so `ub(maxTf, minDl)` dominates every score in the
+    * block; minDl = 0 (unknown, e.g. compaction-repacked blocks) degrades
+    * to the dl-free bound, which round 2 used everywhere.
     */
   private final class TermCursor(blocks: Array[PBlock], val idf: Double,
-      k1: Double, b: Double) {
+      k1: Double, b: Double, avgdl: Double) {
+    private val adl = if (avgdl > 0) avgdl else 1.0
+    @inline private def ub(maxTf: Int, minDl: Int): Double = {
+      val m = maxTf.toDouble
+      idf * (m * (k1 + 1.0)) / (m + k1 * (1.0 - b + b * (minDl / adl)))
+    }
     val maxScore: Double = {
-      var m = 0
-      blocks.foreach(bl => if (bl.maxTf > m) m = bl.maxTf)
-      idf * (m * (k1 + 1.0)) / (m + k1 * (1.0 - b))
+      var s = 0.0
+      blocks.foreach { bl =>
+        val u = ub(bl.maxTf, bl.minDl)
+        if (u > s) s = u
+      }
+      s
     }
     private var bi = 0 // current block
     private var docs: Array[Long] = _
@@ -375,11 +408,8 @@ object Searcher {
     def exhausted: Boolean = exhaustedFlag
     def docId: Long = docs(pi)
     def tf: Int = tfs(pi)
-    /** Upper-bound score of the current block (dl-free bound). */
-    def blockMaxScore: Double = {
-      val m = blocks(bi).maxTf
-      idf * (m * (k1 + 1.0)) / (m + k1 * (1.0 - b))
-    }
+    /** Upper-bound score of the current block. */
+    def blockMaxScore: Double = ub(blocks(bi).maxTf, blocks(bi).minDl)
     def next(): Unit = {
       pi += 1
       if (pi >= docs.length) {
@@ -418,7 +448,8 @@ object Searcher {
     val (normDocs, dls) = decodeNorms(normRows)
     val cursors = ps.groupBy(_.term).valuesIterator.map { rs =>
       val sorted = rs.sortBy(_.wave)
-      new TermCursor(sorted.flatMap(_.blocks).toArray, idf(rs.head.term), p.k1, p.b)
+      new TermCursor(sorted.flatMap(_.blocks).toArray, idf(rs.head.term),
+        p.k1, p.b, avgdl)
     }.toArray
 
     // top-k min-heap ordered by (score asc, docId desc): root = weakest kept
@@ -457,6 +488,7 @@ object Searcher {
           }
           if (bacc > theta) {
             // score pivotDoc exactly
+            scoredCount.increment()
             val dlIdx = java.util.Arrays.binarySearch(normDocs, pivotDoc)
             val dl = if (dlIdx >= 0) dls(dlIdx).toDouble else 0.0
             var s = 0.0

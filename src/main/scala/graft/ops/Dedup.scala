@@ -57,7 +57,50 @@ object Dedup {
 
   private def $(s: String) = col(s)
 
-  /** Materialize `result` to a temp staging table, then release the cached
+  /** Staging root for materialized intermediate tables: the explicit
+    * per-call `stagingDir` argument, else session conf
+    * `spark.graft.stagingDir`, else `<warehouse dir>/_graft_staging`. On a
+    * multi-node cluster this MUST be shared storage — a driver-local temp
+    * path resolves to per-node local disks on the executors, so the staged
+    * table would be scattered and the read-back wrong; the warehouse
+    * default is shared wherever the warehouse is.
+    */
+  private[ops] def stagingRoot(spark: org.apache.spark.sql.SparkSession,
+      explicit: Option[String]): String =
+    explicit
+      .orElse(spark.conf.getOption("spark.graft.stagingDir"))
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/_graft_staging")
+
+  private val staged =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (org.apache.hadoop.conf.Configuration, String)]()
+  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Delete the staging tables this JVM created (also runs from a JVM
+    * shutdown hook, so Verify/Bench runs cannot leak one staged table per
+    * dedup query into the staging root). Call it once the DataFrames
+    * returned by the dedup operators are fully consumed. `under` scopes the
+    * deletion to staged dirs below one root (leaving other callers' staged
+    * tables alive, e.g. concurrently running test suites).
+    */
+  def dropStaged(under: Option[String] = None): Unit = {
+    val keep = new java.util.ArrayList[
+      (org.apache.hadoop.conf.Configuration, String)]()
+    var e = staged.poll()
+    while (e != null) {
+      if (under.forall(u => e._2.startsWith(u)))
+        try {
+          val p = new org.apache.hadoop.fs.Path(e._2)
+          p.getFileSystem(e._1).delete(p, true)
+        } catch { case _: Throwable => () }
+      else keep.add(e)
+      e = staged.poll()
+    }
+    staged.addAll(keep): Unit
+  }
+
+  /** Materialize `result` to a staging table, then release the cached
     * inputs that fed it. The persisted staging tables here are corpus-sized
     * (shingles, signatures); returning a lazy plan over them would leak the
     * cache for the lifetime of the session (one leaked cache per query in a
@@ -65,12 +108,16 @@ object Dedup {
     * shape: dedup stages checkpoint to a staging table anyway.
     */
   private def materializeAndRelease(result: DataFrame,
-      cached: Seq[DataFrame]): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stage")
-      .toString + "/out"
+      cached: Seq[DataFrame], stagingDir: Option[String]): DataFrame = {
+    val spark = result.sparkSession
+    val tmp = stagingRoot(spark, stagingDir) + "/" +
+      java.util.UUID.randomUUID().toString
     result.write.mode("overwrite").parquet(tmp)
+    staged.add((spark.sparkContext.hadoopConfiguration, tmp))
+    if (hookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => dropStaged()))
     cached.foreach(_.unpersist())
-    result.sparkSession.read.parquet(tmp)
+    spark.read.parquet(tmp)
   }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
@@ -81,7 +128,7 @@ object Dedup {
     * standalone it is exact and oracle-checkable.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, stagingDir: Option[String] = None): DataFrame = {
     // materialize the shingle table once: it feeds both sides of the
     // self-join plus the size table — recomputing tokenize+shingle 3x is
     // pure waste (at cluster scale this persist is a staging-table write)
@@ -100,7 +147,7 @@ object Dedup {
         (col("sza") + col("szb") - col("common")))
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
-    materializeAndRelease(out, Seq(sh))
+    materializeAndRelease(out, Seq(sh), stagingDir)
   }
 
   /** MinHash signature of a shingle set: k independent permutations
@@ -137,7 +184,7 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, stagingDir: Option[String] = None): DataFrame = {
     // Materialize shingle sets once: the tokenize+shingle+minhash chain
     // would otherwise be recomputed on both sides of the self-join AND per
     // band (measured 49s -> ~5s on the 500-doc driver table). At cluster
@@ -153,7 +200,7 @@ object Dedup {
         aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(k))
       .select(col("a"), col("b"), col("est_jaccard"))
-    materializeAndRelease(out, Seq(sh, sig))
+    materializeAndRelease(out, Seq(sh, sig), stagingDir)
   }
 
   /** (id, sh: array<string>) distinct shingle sets per doc. */
@@ -200,7 +247,8 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      seed: Long = 42L, threshold: Double = 0.9): DataFrame = {
+      seed: Long = 42L, threshold: Double = 0.9,
+      stagingDir: Option[String] = None): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cand, sig) = lshCandidates(sh, k, bands, seed)
@@ -212,7 +260,7 @@ object Dedup {
         (size(col("sha")) + size(col("shb")) - col("common")))
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
-    materializeAndRelease(out, Seq(sh, sig))
+    materializeAndRelease(out, Seq(sh, sig), stagingDir)
   }
 
   /** 64-bit SimHash over tokens (tf-weighted; Charikar's

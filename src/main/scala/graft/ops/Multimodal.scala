@@ -70,21 +70,31 @@ object Multimodal {
     if (p.length >= 24 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
         p(3) == 'G' && p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
       return Some((be32(p, 16), be32(p, 20), 1, "image"))
-    // WAV: RIFF....WAVE then chunk list
+    // WAV: RIFF....WAVE then chunk list. The walk runs on UNTRUSTED bytes:
+    // chunk sizes are read as UNSIGNED 32-bit (a signed read lets a crafted
+    // size of -8/-9 zero the advance — an executor-wedging busy loop — and
+    // more-negative sizes drive the offset negative and throw), offsets are
+    // tracked in Long so `off + 8 + sz` cannot overflow, and the offset must
+    // strictly advance every iteration (structurally guaranteed by sz >= 0,
+    // enforced anyway as a belt-and-braces guard).
     if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
-      var off = 12
+      var off = 12L
       var blockAlign = 0
-      var dataSize = -1
-      while (off + 8 <= p.length && (blockAlign == 0 || dataSize < 0)) {
-        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val sz = le32(p, off + 4)
-        if (id == "fmt " && off + 22 + 2 <= p.length) blockAlign = le16(p, off + 20)
+      var dataSize = -1L
+      var walking = true
+      while (walking && off + 8 <= p.length && (blockAlign == 0 || dataSize < 0)) {
+        val io = off.toInt
+        val id = new String(p, io, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(p, io + 4) & 0xffffffffL // chunk size is unsigned
+        if (id == "fmt " && io + 22 + 2 <= p.length) blockAlign = le16(p, io + 20)
         if (id == "data") dataSize = sz
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
+        val next = off + 8L + sz + (sz & 1L) // chunks are word-aligned
+        if (next <= off) walking = false else off = next
       }
       if (blockAlign > 0 && dataSize >= 0)
-        return Some((0, 0, dataSize / blockAlign, "audio"))
+        return Some((0, 0,
+          math.min(dataSize / blockAlign, Int.MaxValue.toLong).toInt, "audio"))
     }
     None
   }

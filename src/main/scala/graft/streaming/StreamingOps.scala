@@ -35,29 +35,67 @@ object StreamingOps {
       .select(unix_timestamp(col("window.start")).as("ws"),
         col("event_type"), col("n"), col("total"))
 
+  /** The file streaming source requires a directory; stage single files. */
+  private def asStreamDir(eventsPath: String): String = {
+    val p = java.nio.file.Paths.get(eventsPath)
+    if (java.nio.file.Files.isDirectory(p)) eventsPath
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+      d.toString
+    }
+  }
+
+  /** PRODUCTION-SHAPE windowed aggregation over a bounded events path, and
+    * the driver-gated q22 form: [[windowedEventCountsStream]] in UPDATE
+    * mode, sunk through `foreachBatch` as an append-only parquet change log
+    * — each micro-batch writes only the (window, event_type) rows whose
+    * aggregates changed, tagged with the batch id, straight from the
+    * executors (nothing is re-materialized on the driver, unlike the
+    * complete-mode memory sink, which re-collects EVERY window every batch
+    * and cannot scale past driver memory). The returned DataFrame is the
+    * log compacted to the latest row per key — the standard
+    * changelog-then-compact sink pattern for engines without native upsert
+    * (a kafka/delta sink would consume the same update stream directly).
+    */
+  def windowedEventCountsIncremental(spark: SparkSession, eventsPath: String,
+      windowSec: Int = 300, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-log").toString
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(asStreamDir(eventsPath))
+    // the cast inside windowedEventCountsStream also converts parquet NTZ
+    // timestamps to session-TZ (UTC) instants for watermarking
+    val agg = windowedEventCountsStream(stream, windowSec)
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(logDir): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(logDir)
+      .groupBy(col("ws"), col("event_type"))
+      .agg(max_by(struct(col("n"), col("total")), col("batch_id")).as("v"))
+      .select(col("ws"), col("event_type"), col("v.n").as("n"),
+        col("v.total").as("total"))
+  }
+
   /** Tumbling-window counts over the events stream, run synchronously to
     * completion against a static parquet path (memory sink). Window start
     * is returned as epoch seconds so batch/oracle comparisons are
-    * timezone-free. Harness-grade by construction (complete output mode,
-    * driver-bound memory sink) — see [[windowedEventCountsStream]] for the
-    * scale path.
+    * timezone-free. TEST HELPER ONLY, by construction (complete output
+    * mode, driver-bound memory sink — every window re-collected on the
+    * driver each batch): StreamingSpec uses it to cross-check the
+    * update-mode production form, and nothing else should.
     */
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
       windowSec: Int = 300): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
-    // the file streaming source requires a directory; stage single files
-    val streamPath = {
-      val p = java.nio.file.Paths.get(eventsPath)
-      if (java.nio.file.Files.isDirectory(p)) eventsPath
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
-        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
-        d.toString
-      }
-    }
-    val stream = spark.readStream.schema(schema).parquet(streamPath)
-    // the cast inside windowedEventCountsStream also converts parquet NTZ
-    // timestamps to session-TZ (UTC) instants for watermarking
+    val stream = spark.readStream.schema(schema).parquet(asStreamDir(eventsPath))
     val agg = windowedEventCountsStream(stream, windowSec)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream.outputMode("complete")

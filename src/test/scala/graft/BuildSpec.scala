@@ -29,6 +29,35 @@ class BuildSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("index built FROM the html column equals the text-built index byte-identically") {
+    // closes the input_hint loop end-to-end: ingest raw html (≙ the
+    // reference ingesting raw tags, storage.rs:198), extract text with the
+    // spec-v1 extractor, and require the resulting index to be
+    // indistinguishable — block bytes included — from one built on the
+    // pre-extracted text column.
+    val opts = IndexOptions(docsPerSegment = 256)
+    val dirT = scratch("fromtext")
+    IndexBuilder.build(spark, docs, dirT, opts)
+    val htmlDocs = IndexBuilder
+      .assignDocIds(spark, pages, "url", base = 0L, numPartitions = 8)
+      .select(col("docId"), col("url").as("key"),
+        HtmlText.extractUdf(col("html")).as("text"), col("warc_ts").as("ts"))
+    val dirH = scratch("fromhtml")
+    IndexBuilder.build(spark, htmlDocs, dirH, opts)
+    def dump(dir: String) = new Searcher(spark, dir).segments
+      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+      .as[SegmentPosting]
+      .map(sp => (sp.term, sp.wave, sp.segId, sp.df, sp.tf, sp.maxTf,
+        sp.blocks.map(b => (b.maxDocId, b.maxTf, b.minDl, b.n,
+          java.util.Arrays.hashCode(b.docBytes),
+          java.util.Arrays.hashCode(b.tfBytes),
+          java.util.Arrays.hashCode(b.posBytes))).toSeq))
+      .collect().toSet
+    val fromText = dump(dirT)
+    assert(dump(dirH) == fromText)
+    assert(fromText.nonEmpty)
+  }
+
   test("docID assignment: dense, unique, deterministic, no zipWithIndex") {
     val ids = docs.select("docId").as[Long].collect().sorted
     assert(ids.length == N)

@@ -167,6 +167,43 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decode(raw) == Multimodal.decodeStub(raw))
   }
 
+  test("decodeReal terminates and never throws on adversarial WAV chunk sizes") {
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    // historical bug shape: a signed chunk-size read made sz = -8 a zero
+    // advance (executor-wedging busy loop); craft exactly that payload
+    val evilJunk = ascii("RIFF") ++ Array[Byte](0, 0, 0, 0) ++ ascii("WAVE") ++
+      ascii("JUNK") ++ Array[Byte](-8, -1, -1, -1) ++ Array.fill[Byte](24)(0)
+    assert(Multimodal.decodeReal(evilJunk).isEmpty)
+    // valid fmt chunk followed by the non-advancing junk chunk before data
+    val wav = Multimodal.wavBytes(16000, 1, 16, 10)
+    val evilMid = wav.take(36) ++ ascii("EVIL") ++
+      Array[Byte](-9, -1, -1, -1) ++ wav.drop(36)
+    Multimodal.decodeReal(evilMid) // must return (walks off the end)
+    // seeded fuzz: raw bytes and RIFF/WAVE-framed random chunk lists
+    val rnd = new scala.util.Random(1234)
+    (0 until 3000).foreach { i =>
+      val body = Array.fill[Byte](rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      val p =
+        if (i % 2 == 0) body
+        else ascii("RIFF") ++ Array[Byte](body.length.toByte, 0, 0, 0) ++
+          ascii("WAVE") ++ body
+      Multimodal.decode(p): Unit // terminates, never throws
+    }
+  }
+
+  test("dedup staging goes to the configured dir and dropStaged reclaims it") {
+    val root = scratch("dedup-stage")
+    val out = Dedup.jaccardPairs(planted, "doc_id", "text", n = 3,
+      threshold = 0.8, stagingDir = Some(root))
+    assert(out.count() > 0)
+    val staged = new java.io.File(root).listFiles()
+    assert(staged != null && staged.nonEmpty,
+      "staging table must land under the explicit staging dir")
+    Dedup.dropStaged(under = Some(root))
+    val after = new java.io.File(root).listFiles()
+    assert(after == null || after.isEmpty, "dropStaged must reclaim the staging dir")
+  }
+
   test("minhash LSH + exact verification equals exact all-pairs jaccard") {
     val exact = Dedup.jaccardPairs(planted, "doc_id", "text", n = 3, threshold = 0.8)
       .as[(Long, Long, Double)].collect().toSet

@@ -82,6 +82,24 @@ class RuleSpec extends SparkSpec {
     IndexRegistry.clear()
   }
 
+  test("searcher is memoized: repeated queries pay no per-query manifest read") {
+    val (tableDir, idxDir) = setup
+    IndexRegistry.clear()
+    IndexRegistry.register(tableDir, idxDir, "doc_id")
+    val t = spark.read.parquet(tableDir)
+    // first query constructs + caches the Searcher (one manifest read)
+    t.where(graft_match(col("text"), "w5")).count()
+    val before = ManifestIO.readCount(idxDir)
+    (1 to 5).foreach(i => t.where(graft_match(col("text"), s"w$i")).count())
+    assert(ManifestIO.readCount(idxDir) == before,
+      "repeated graft_match queries must reuse the memoized Searcher")
+    // registry change invalidates: the next query re-reads the manifest
+    IndexRegistry.register(tableDir, idxDir, "doc_id")
+    t.where(graft_match(col("text"), "w6")).count()
+    assert(ManifestIO.readCount(idxDir) == before + 1)
+    IndexRegistry.clear()
+  }
+
   test("conjunction of graft_match terms plus residual predicate (AND = intersection)") {
     val (tableDir, idxDir) = setup
     IndexRegistry.clear()

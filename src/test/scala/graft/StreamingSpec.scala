@@ -92,16 +92,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("windowed event counts equal the batch formulation") {
+  private def batchWindowed(path: String) = spark.read.parquet(path)
+    .withColumn("ts", col("ts").cast("timestamp"))
+    .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+    .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    .select(unix_timestamp(col("window.start")).as("ws"),
+      col("event_type"), col("n"), col("total"))
+
+  test("windowed event counts equal the batch formulation (memory-sink helper)") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val streamed = StreamingOps.windowedEventCounts(spark, path)
-    val batch = spark.read.parquet(path)
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
-      .select(unix_timestamp(col("window.start")).as("ws"),
-        col("event_type"), col("n"), col("total"))
+    val batch = batchWindowed(path)
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).count() == 0)
+  }
+
+  test("update-mode changelog sink (production q22 shape) equals batch") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val inc = StreamingOps.windowedEventCountsIncremental(spark, path)
+    val batch = batchWindowed(path)
+    assert(inc.count() == batch.count())
+    assert(inc.except(batch).count() == 0)
+  }
+
+  test("update-mode changelog compacts correctly across multiple micro-batches") {
+    // 3 ts-ordered files -> 3 micro-batches; windows updated in a later
+    // batch are re-emitted and the changelog compaction must keep only the
+    // final row per key. In-order arrival + the 10-minute watermark on
+    // 5-minute windows means no update ever lands on an evicted window, so
+    // the compacted result equals the batch aggregation exactly.
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val ev = spark.read.parquet(path)
+      .withColumn("sec", unix_timestamp(col("ts").cast("timestamp")))
+    val (lo, hi) = ev.agg(min(col("sec")), max(col("sec")))
+      .as[(Long, Long)].head()
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-inc-src")
+    Seq(col("sec") <= cut1,
+        col("sec") > cut1 && col("sec") <= cut2,
+        col("sec") > cut2).zipWithIndex.foreach { case (pred, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-inc-part$i")
+      ev.where(pred).drop("sec").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(f"ev$i%02d.parquet"))
+      Thread.sleep(5) // strictly increasing mod times = in-order arrival
+    }
+    val inc = StreamingOps.windowedEventCountsIncremental(spark,
+      srcDir.toString, maxFilesPerTrigger = Some(1))
+    val batch = batchWindowed(srcDir.toString)
+    assert(inc.count() == batch.count())
+    assert(inc.except(batch).count() == 0)
+    assert(inc.count() > 0)
   }
 }
