@@ -64,6 +64,15 @@ object IndexBuilder {
     */
   case class TermEntry(term: String, tf: Int, pos: Array[Byte])
 
+  /** Tokenize output for one doc: `dl` (token count) + distinct-term
+    * entries. dl is emitted BY the UDF — it already holds the token array —
+    * because recovering it downstream as `aggregate(es, ..., acc + e.tf)`
+    * is an interpreted (non-codegen) higher-order function per row, and one
+    * such aggregate in the doc-length path plus one in the postings path
+    * measured ~10% off the whole build's throughput.
+    */
+  case class DocEntries(dl: Int, es: Seq[TermEntry])
+
   /** Growable primitive int buffer — positions accumulate unboxed (an
     * `ArrayBuffer[Int]` boxes every append; at ~150 positions per doc that
     * was tens of millions of Integer allocations per million docs, in the
@@ -115,7 +124,7 @@ object IndexBuilder {
         out += TermEntry(e.getKey, e.getValue.n,
           if (withPositions) e.getValue.toPacked else EmptyBytes)
       }
-      out.toSeq
+      DocEntries(ts.length, out.toSeq)
     }
 
   /** Per-phase build timing, printed when GRAFT_BUILD_TIMING is set —
@@ -202,15 +211,13 @@ object IndexBuilder {
     // rows are converted to index form exactly once (block.rs:372-387).
     val entries = base.select($"docId", $"key", $"ts",
       ($"docId" / lit(dps)).cast(LongType).as("segId"),
-      termEntriesUdf(withPositions)($"text").as("es"))
+      termEntriesUdf(withPositions)($"text").as("de"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phase("tokenize+persist")(entries.count())
 
-    // ---- forward map + norms: dl = sum of tfs, no re-tokenize ------------
+    // ---- forward map + norms: dl comes straight from the UDF output ------
     val docdl = entries.select($"docId", $"key",
-      coalesce(aggregate($"es", lit(0), (acc, e) => acc + e.getField("tf")),
-        lit(0)).cast(IntegerType).as("dl"),
-      $"ts", $"segId")
+      $"de.dl".cast(IntegerType).as("dl"), $"ts", $"segId")
 
     phase("docmeta-write")(docdl.select($"docId", $"key", $"dl", $"ts")
       .repartitionByRange(col("docId")).sortWithinPartitions("docId")
@@ -228,10 +235,8 @@ object IndexBuilder {
     // anywhere in the pipeline. dl rides in the high half of the tf slot
     // (TfRow.tfDl) so the encoder can stamp per-block minDl for free.
     val tfpos = entries
-      .select($"docId", $"segId",
-        coalesce(aggregate($"es", lit(0), (acc, e) => acc + e.getField("tf")),
-          lit(0)).cast(LongType).as("dl"),
-        explode($"es").as("e"))
+      .select($"docId", $"segId", $"de.dl".cast(LongType).as("dl"),
+        explode($"de.es").as("e"))
       .select($"e.term".as("term"), $"docId",
         shiftleft($"dl", 32).bitwiseOR($"e.tf".cast(LongType)).as("tfDl"),
         $"e.pos".as("pos"), $"segId")

@@ -301,6 +301,10 @@ object Searcher {
     */
   val scoredCount = new java.util.concurrent.atomic.LongAdder()
 
+  /** False under GRAFT_WAND_NO_MINDL=1 (see TermCursor.ub). */
+  private[index] val useMinDlBound: Boolean =
+    !sys.env.get("GRAFT_WAND_NO_MINDL").contains("1")
+
   /** Concatenate posting runs of one (term, segId) across waves (wave order
     * = ascending docIds; reference rebase invariant) and decode docIds.
     */
@@ -382,7 +386,11 @@ object Searcher {
   private final class TermCursor(blocks: Array[PBlock], val idf: Double,
       k1: Double, b: Double, avgdl: Double) {
     private val adl = if (avgdl > 0) avgdl else 1.0
-    @inline private def ub(maxTf: Int, minDl: Int): Double = {
+    @inline private def ub(maxTf: Int, minDl0: Int): Double = {
+      // GRAFT_WAND_NO_MINDL=1 forces the round-2 dl-free bound — a
+      // measurement toggle so TimeQuery's `scored` counter can quantify the
+      // per-block minDl pruning gain on identical indexes
+      val minDl = if (Searcher.useMinDlBound) minDl0 else 0
       val m = maxTf.toDouble
       idf * (m * (k1 + 1.0)) / (m + k1 * (1.0 - b + b * (minDl / adl)))
     }

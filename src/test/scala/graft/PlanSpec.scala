@@ -47,7 +47,8 @@ class PlanSpec extends SparkSpec {
     val docs = (0L until 100L).map(i => (i, s"k$i", "a b c")).toDF("docId", "key", "text")
     val tfpos = docs
       .select(col("docId"),
-        explode(IndexBuilder.termEntriesUdf(true)(col("text"))).as("e"))
+        explode(IndexBuilder.termEntriesUdf(true)(col("text"))
+          .getField("es")).as("e"))
       .select(col("e.term").as("term"), col("docId"), col("e.tf").as("tf"),
         col("e.pos").as("pos"),
         (col("docId") / lit(128)).cast("long").as("segId"))
