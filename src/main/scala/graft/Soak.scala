@@ -99,11 +99,16 @@ object Soak {
       Seq("term0000", "term0040"), Seq("term0040", "term0300", "term0700"),
       Seq("term0700"), Seq("term0000", "term0700"), Seq("term0100", "term0200"))
     val warm = s.bm25(sets.head, 10).count() // plan/codegen warmup
+    val scored0 = Searcher.scoredCount.sum()
     val lat = (0 until 15).map { i =>
       val (n, sec) = t(s.bm25(sets(i % sets.size), 10).count())
       require(n > 0, s"empty top-k for ${sets(i % sets.size)}")
       sec * 1000
     }.sorted
+    // exact scorings across the 15-query mix — the WAND pruning diagnostic
+    // (local-mode counter; compare with GRAFT_WAND_NO_MINDL=1 to see the
+    // per-block minDl bound's effect at real segment sizes)
+    val scoredExact = Searcher.scoredCount.sum() - scored0
     val (andN, andSec) = t(s.and(Seq("term0000", "term0040", "term0100")).count())
     val (phraseN, phraseSec) =
       if (withPos) t(s.phrase(Seq("term0000", "term0001")).count()) else (0L, 0.0)
@@ -120,6 +125,7 @@ object Soak {
         f""""segments":$segCount,"index_bytes":$idxBytes,""" +
         f""""bytes_per_posting":${idxBytes.toDouble / mc.totalTokens}%.2f,""" +
         f""""bm25_p50_ms":${lat(lat.size / 2)}%.0f,"bm25_max_ms":${lat.last}%.0f,""" +
+        f""""bm25_scored_exact":$scoredExact,""" +
         f""""and_hits":$andN,"and_ms":${andSec * 1000}%.0f,""" +
         f""""phrase_hits":$phraseN,"phrase_ms":${phraseSec * 1000}%.0f,"warm":$warm}""")
     spark.stop()
