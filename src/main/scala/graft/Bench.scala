@@ -101,7 +101,12 @@ object Bench {
     // (local-cluster via child JVMs — see ScalingProbe/ScalingBuild for why
     // threads-in-one-JVM cannot measure scaling on this sandbox), default
     // 1 -> 4 executors, interleaved min-of-reps, each rep a clean JVM.
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
+    // 7 reps max under the wall-clock budget (ScalingProbe.runDetailed):
+    // the host shows multi-minute phases where only CROSS-PROCESS work is
+    // slow (the 1-exec config interleaved stays fast) — more reps = more
+    // chances to sample the hi config outside such a phase; the budget
+    // keeps a bad night from eating the bench window
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "7").toInt
     val scaleCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "1,4")
       .split(",").map(_.trim.toInt).toSeq
     val tmpRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else tmp

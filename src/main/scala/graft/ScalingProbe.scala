@@ -147,16 +147,39 @@ object ScalingProbe {
     * phase — per-rep efficiency pairs like with like, where pairing the
     * global minima can cross a lucky low-parallelism run with an unlucky
     * high-parallelism one (host noise is one-sided: it only slows runs).
+    *
+    * A wall-clock budget (SPARK_GRAFT_SCALE_BUDGET_SEC, default 2100 s)
+    * stops starting NEW reps once at least 3 are complete and the budget is
+    * spent — on a host slow night a rep can take 3x its usual time, and an
+    * unbounded rep count could blow the whole bench window. Stopping on
+    * elapsed TIME is unbiased: the decision never looks at the efficiency
+    * values. Completed-rep counts are always reported, so a short run is
+    * visible in the artifact.
     */
   def runDetailed(cores: Seq[Int], docs: Long, reps: Int,
-      tmp: String): Vector[Map[Int, Double]] =
-    (0 until reps).map { r =>
-      cores.map { c =>
-        val sec = buildInChild(c, docs, s"$tmp/c$c-r$r")
-        println(f"""{"execs":$c,"rep":$r,"docs":$docs,"sec":$sec%.1f,"docs_per_sec":${docs / sec}%.1f}""")
-        c -> sec
-      }.toMap
-    }.toVector
+      tmp: String): Vector[Map[Int, Double]] = {
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "2100").toLong
+    val t0 = System.nanoTime()
+    val out = Vector.newBuilder[Map[Int, Double]]
+    var r = 0
+    var stop = false
+    while (r < reps && !stop) {
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      if (r >= 3 && elapsed > budgetSec) {
+        println(f"""{"scale_budget_stop":true,"completed_reps":$r,"elapsed_sec":$elapsed%.0f}""")
+        stop = true
+      } else {
+        out += cores.map { c =>
+          val sec = buildInChild(c, docs, s"$tmp/c$c-r$r")
+          println(f"""{"execs":$c,"rep":$r,"docs":$docs,"sec":$sec%.1f,"docs_per_sec":${docs / sec}%.1f}""")
+          c -> sec
+        }.toMap
+        r += 1
+      }
+    }
+    out.result()
+  }
 
   /** Min-of-reps throughput per executor count (docs/sec). */
   def run(cores: Seq[Int], docs: Long, reps: Int,
@@ -196,7 +219,7 @@ object ScalingProbe {
 
   def main(args: Array[String]): Unit = {
     val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "7").toInt
     val cores = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4)
     // tmpfs output: on one box the disk is shared across all executor
     // counts, which under-measures cluster scaling where each node brings

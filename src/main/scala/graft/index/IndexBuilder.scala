@@ -156,9 +156,9 @@ object IndexBuilder {
     hadoopDelete(spark, dir)
     val m0 = IndexManifest(Version, Tokenize.Version, opts.docsPerSegment,
       opts.blockSize, opts.withPositions, Nil)
+    // buildWave writes the wave's termstats too (data before manifest)
     val w = buildWave(spark, docs, dir, 0, opts, enforceBase = None, enforceMinTs = None)
     val m = m0.copy(waves = List(w))
-    writeWaveTermStats(spark, dir, 0)
     ManifestIO.write(dir, m)
     m
   }
@@ -175,12 +175,12 @@ object IndexBuilder {
       hadoopDelete(spark, s"$p/wave=$wave")
     }
     val prevMaxTs = m0.waves.map(_.maxTs).filter(_ != 0L).maxOption
+    // buildWave writes the new wave's stats too — incremental by
+    // construction: committed waves' stats files are untouched (O(wave)
+    // append cost)
     val w = buildWave(spark, docs, dir, wave, opts,
       enforceBase = Some(m0.nextDocBase), enforceMinTs = prevMaxTs)
     val m = m0.copy(waves = m0.waves :+ w)
-    // incremental: only the NEW wave's stats are computed and written —
-    // committed waves' stats files are untouched (O(wave) append cost)
-    writeWaveTermStats(spark, dir, wave)
     ManifestIO.write(dir, m)
     m
   }
@@ -219,16 +219,31 @@ object IndexBuilder {
     val docdl = entries.select($"docId", $"key",
       $"de.dl".cast(IntegerType).as("dl"), $"ts", $"segId")
 
-    phase("docmeta-write")(docdl.select($"docId", $"key", $"dl", $"ts")
-      .repartitionByRange(col("docId")).sortWithinPartitions("docId")
-      .write.mode("overwrite").parquet(s"${docmetaPath(dir)}/wave=$wave"))
+    // ---- the three wave outputs (forward map, norms, postings) all consume
+    // the SAME persisted tokenized rows, and their writes go to disjoint
+    // dirs — so the driver submits them as CONCURRENT Spark jobs and joins.
+    // Serially, the two small sidecar jobs are almost pure fixed cost at
+    // high parallelism (measured: norms-write ~5 s at 1 AND at 4 executors
+    // for 1M docs — scheduling + shuffle setup + parquet commit, not data)
+    // and that fixed ladder is exactly what caps N->4N scaling efficiency
+    // (Amdahl); overlapped, they hide under the postings shuffle. On a
+    // 1000-executor cluster this is the natural shape: idle cores pick up
+    // the sidecar stages while the big exchange runs.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val fDocmeta = Future(phase("docmeta-write")(
+      docdl.select($"docId", $"key", $"dl", $"ts")
+        .repartitionByRange(col("docId")).sortWithinPartitions("docId")
+        .write.mode("overwrite").parquet(s"${docmetaPath(dir)}/wave=$wave")))
 
     val normsDs: Dataset[SegmentNorms] = docdl
       .select($"docId", $"dl", $"segId", $"ts").as[DlRow]
       .repartition(col("segId")).sortWithinPartitions("segId", "docId")
       .mapPartitions(encodeNormRuns(_, wave))
-    phase("norms-write")(normsDs.toDF().drop("wave") // wave comes back as the partition dir column
-      .write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave"))
+    val fNorms = Future(phase("norms-write")(
+      normsDs.toDF().drop("wave") // wave comes back as the partition dir column
+        .write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave")))
 
     // ---- postings: one row per distinct (doc, term) into the single
     // shuffle (repartition by term+segId) — no per-token exchange exists
@@ -246,30 +261,38 @@ object IndexBuilder {
       .sortWithinPartitions("term", "segId", "docId")
       .as[TfRow]
       .mapPartitions(encodePostingRuns(_, wave, blockSize, withPositions))
-    phase("postings-write")(segDs.toDF()
-      .write.mode("overwrite").partitionBy("wave")
-      .parquet(segmentsPath(dir) + s"/.tmpwave$wave"))
-    // partitionBy writes under .tmpwaveN/wave=N; move into place so all waves
-    // share one partitioned root without dynamic-overwrite semantics. A
-    // zero-posting wave (empty/token-free corpus) produces no partition dir
-    // at all — write an explicit empty file so the wave stays readable.
-    val tmpPart = new org.apache.hadoop.fs.Path(
-      segmentsPath(dir) + s"/.tmpwave$wave/wave=$wave")
-    val fsSeg = tmpPart.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsSeg.exists(tmpPart))
-      movePartition(spark, tmpPart.toString, segmentsPath(dir) + s"/wave=$wave")
-    else
-      segDs.toDF().limit(0).drop("wave")
-        .write.mode("overwrite").parquet(segmentsPath(dir) + s"/wave=$wave")
-    hadoopDelete(spark, segmentsPath(dir) + s"/.tmpwave$wave")
+    val fPostings = Future(phase("postings-write") {
+      segDs.toDF()
+        .write.mode("overwrite").partitionBy("wave")
+        .parquet(segmentsPath(dir) + s"/.tmpwave$wave")
+      // partitionBy writes under .tmpwaveN/wave=N; move into place so all
+      // waves share one partitioned root without dynamic-overwrite
+      // semantics. A zero-posting wave (empty/token-free corpus) produces
+      // no partition dir at all — write an explicit empty file so the wave
+      // stays readable.
+      val tmpPart = new org.apache.hadoop.fs.Path(
+        segmentsPath(dir) + s"/.tmpwave$wave/wave=$wave")
+      val fsSeg = tmpPart.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fsSeg.exists(tmpPart))
+        movePartition(spark, tmpPart.toString, segmentsPath(dir) + s"/wave=$wave")
+      else
+        segDs.toDF().limit(0).drop("wave")
+          .write.mode("overwrite").parquet(segmentsPath(dir) + s"/wave=$wave")
+      hadoopDelete(spark, segmentsPath(dir) + s"/.tmpwave$wave")
+    })
+    import scala.concurrent.duration.Duration
+    Await.result(fDocmeta, Duration.Inf)
+    Await.result(fNorms, Duration.Inf)
+    Await.result(fPostings, Duration.Inf)
 
     // ---- wave stats: aggregated from per-segment norms metadata ----------
     // (one row per segment, not per doc — the stats job reads O(segments)
     // rows instead of rescanning the forward map)
-    val metaAgg = spark.read.parquet(s"${normsPath(dir)}/wave=$wave")
-      .agg(sum($"n"), sum($"sumDl"), min($"minDocId"), max($"maxDocId"),
-        min(when($"minTs" =!= 0L, $"minTs")), max($"maxTs"))
-      .head()
+    val metaAgg = phase("wave-stats")(
+      spark.read.parquet(s"${normsPath(dir)}/wave=$wave")
+        .agg(sum($"n"), sum($"sumDl"), min($"minDocId"), max($"maxDocId"),
+          min(when($"minTs" =!= 0L, $"minTs")), max($"maxTs"))
+        .head())
     val numDocs = if (metaAgg.isNullAt(0)) 0L else metaAgg.getLong(0)
     val totalTokens = if (metaAgg.isNullAt(1)) 0L else metaAgg.getLong(1)
     val minDocId = if (numDocs == 0) 0L else metaAgg.getLong(2)
@@ -288,11 +311,11 @@ object IndexBuilder {
           "(reference merge panics on overlap, block.rs:165-168)")
     }
 
-    val postings = spark.read.parquet(s"${segmentsPath(dir)}/wave=$wave")
-      .agg(sum($"df")).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    // termstats double as the posting counter: summing df over the
+    // vocabulary-sized stats table replaces a second full segments scan
+    // (every small serial job in this tail is a ~1-2 s scheduling floor
+    // that the 4N-executor config cannot parallelize away)
+    val postings = writeWaveTermStats(spark, dir, wave)
     entries.unpersist()
     val sec = (System.nanoTime() - t0) / 1e9
     WaveInfo(wave, numDocs, totalTokens, minDocId, maxDocId, minTs, maxTs,
@@ -386,18 +409,29 @@ object IndexBuilder {
     *
     * Reads only the (term, df, tf, maxTf) columns — Parquet column pruning
     * keeps the posting blobs on disk.
+    *
+    * Returns the wave's total posting count (sum of df), read back from the
+    * vocabulary-sized stats table it just wrote — the caller's posting
+    * counter without a second scan of the full segments table.
     */
   private[index] def writeWaveTermStats(spark: SparkSession, dir: String,
-      wave: Int): Unit = {
+      wave: Int): Long = {
     import spark.implicits._
     val segs = readSegments(spark, dir, Seq(wave))
     val stats = segs.select($"term", $"df", $"tf", $"maxTf")
       .groupBy($"term")
       .agg(sum($"df").as("df"), sum($"tf").as("tf"), max($"maxTf").as("maxTf"))
     val out = stats.repartitionByRange(col("term")).sortWithinPartitions("term")
-    out.write.mode("overwrite").parquet(termstatsPath(dir) + s"/.tmpwave$wave")
-    movePartition(spark, termstatsPath(dir) + s"/.tmpwave$wave",
-      termstatsPath(dir) + s"/wave=$wave")
+    phase("termstats-write") {
+      out.write.mode("overwrite").parquet(termstatsPath(dir) + s"/.tmpwave$wave")
+      movePartition(spark, termstatsPath(dir) + s"/.tmpwave$wave",
+        termstatsPath(dir) + s"/wave=$wave")
+      spark.read.parquet(termstatsPath(dir) + s"/wave=$wave")
+        .agg(sum($"df")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    }
   }
 
   def readTermStats(spark: SparkSession, dir: String, waves: Seq[Int]): DataFrame = {
