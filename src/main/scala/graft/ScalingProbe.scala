@@ -148,7 +148,7 @@ object ScalingProbe {
     * global minima can cross a lucky low-parallelism run with an unlucky
     * high-parallelism one (host noise is one-sided: it only slows runs).
     *
-    * A wall-clock budget (SPARK_GRAFT_SCALE_BUDGET_SEC, default 2100 s)
+    * A wall-clock budget (SPARK_GRAFT_SCALE_BUDGET_SEC, default 2700 s)
     * stops starting NEW reps once at least 3 are complete and the budget is
     * spent — on a host slow night a rep can take 3x its usual time, and an
     * unbounded rep count could blow the whole bench window. Stopping on
@@ -159,7 +159,7 @@ object ScalingProbe {
   def runDetailed(cores: Seq[Int], docs: Long, reps: Int,
       tmp: String): Vector[Map[Int, Double]] = {
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "2100").toLong
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "2700").toLong
     val t0 = System.nanoTime()
     val out = Vector.newBuilder[Map[Int, Double]]
     var r = 0
@@ -218,7 +218,7 @@ object ScalingProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
+    val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "2000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "7").toInt
     val cores = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4)
     // tmpfs output: on one box the disk is shared across all executor
