@@ -4,23 +4,35 @@ import graft.gen.Pages
 import graft.index.{IndexBuilder, IndexOptions, Searcher}
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entry point (driver contract): prints ONE JSON line.
+/** Benchmark entry point (driver contract): prints ONE final JSON line.
   *
-  * Sections:
-  *  - `queries`: per-SparkEntry-query wall seconds at `SPARK_GRAFT_SF_DIR`,
-  *    measured warm (index builds pre-triggered so one-time build cost is
-  *    not misattributed to whichever query runs first);
-  *  - `build`: index-build docs/sec + postings/sec over a deterministic
-  *    synthetic pages corpus (FIXTURES.md §2) — the BASELINE.md headline;
-  *  - `bm25_p50_ms`/`bm25_p99_ms`: query latency over repeated BM25 top-10
-  *    runs with rotating term mixes;
-  *  - `scaling`: the same build at N vs 4N executor PROCESSES
-  *    (`local-cluster[n,1,..]` child JVMs — BASELINE.md protocol; see
-  *    ScalingBuild for why local[N] threads cannot measure scaling on this
-  *    sandbox), default 1 -> 4 executors, 5 interleaved reps; efficiency =
-  *    median per-rep (secLo/secHi)/4 over noise-rejected reps
-  *    (ScalingProbe.robustEfficiency), with every rep's value and the kept
-  *    set published in the JSON.
+  * Section order is chosen so the artifact degrades gracefully under the
+  * driver's wall-clock kill (the BENCH_r03 rc=124 lesson — the 2M-doc
+  * scaling probe used to run FIRST and ate the whole window before a
+  * single query timing printed):
+  *
+  *  1. cache builds (warm the indexes so query timings are query timings);
+  *  2. per-query suite at `SPARK_GRAFT_SF_DIR`;
+  *  3. BM25 latency distribution;
+  *  4. index-build throughput (the BASELINE.md headline);
+  *  5. scaling LAST, under whatever remains of the whole-run budget
+  *     (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 3000 s) — the probe checks
+  *     the deadline before EVERY rep and hard-kills wedged children
+  *     (ScalingProbe.runWithDeadline), so it can run short but can never
+  *     blow the window.
+  *
+  * After EVERY section a `{"bench_section":...}` line is printed and
+  * flushed: a run killed mid-way still leaves each completed section's
+  * numbers in the output tail instead of nothing (round-3 verdict "What's
+  * wrong" #4).
+  *
+  * Scaling protocol: identical build at N vs 4N executor PROCESSES
+  * (`local-cluster[n,1,..]` child JVMs — BASELINE.md protocol; see
+  * ScalingBuild for why local[N] threads cannot measure scaling on this
+  * sandbox), default 1 -> 4 executors over a SHARED pre-generated input
+  * table, interleaved reps; efficiency = median per-rep (secLo/secHi)/4
+  * over noise-rejected reps (ScalingProbe.robustEfficiency), with every
+  * rep's value and the kept set published in the JSON.
   */
 object Bench {
   private def session(cores: Int): SparkSession = {
@@ -40,6 +52,11 @@ object Bench {
     val t0 = System.nanoTime()
     val r = f
     (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def emitSection(name: String, json: String): Unit = {
+    println(s"""{"bench_section":"$name",$json}""")
+    System.out.flush()
   }
 
   /** Full pipeline build over n synthetic pages; returns (docs/sec, postings/sec). */
@@ -81,6 +98,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toLong
+    val deadline = wall0 + budgetSec * 1000000000L
+
     val stale = foreignJvms()
     if (stale.nonEmpty) {
       System.err.println(s"[bench] WARNING: ${stale.size} foreign java " +
@@ -94,53 +116,29 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
-    // 2M docs (not 1M): the 4N-executor config carries ~12 s of fixed
-    // scheduling/commit tail that no executor count removes, so at 1M docs
-    // even a perfectly clean pair measures ~0.70 — a benchmark-size
-    // artifact, not an engine property. At 2M the parallel fraction
-    // dominates on both sides; the 1-executor baseline also genuinely
-    // spills there (per-executor memory is IDENTICAL at both cluster
-    // sizes, as on a real cluster), so part of the 4N speedup is the
-    // aggregate-memory relief more executors really buy. Measured clean
-    // pair at 2M: 570.6 s -> 132.5 s = efficiency 1.08.
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "2000000").toLong
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-
-    // ---- scaling FIRST: identical build at N vs 4N executor PROCESSES
-    // (local-cluster via child JVMs — see ScalingProbe/ScalingBuild for why
-    // threads-in-one-JVM cannot measure scaling on this sandbox), default
-    // 1 -> 4 executors, interleaved min-of-reps, each rep a clean JVM.
-    // 7 reps max under the wall-clock budget (ScalingProbe.runDetailed):
-    // the host shows multi-minute phases where only CROSS-PROCESS work is
-    // slow (the 1-exec config interleaved stays fast) — more reps = more
-    // chances to sample the hi config outside such a phase; the budget
-    // keeps a bad night from eating the bench window
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "7").toInt
+    // 1M docs (round-4 re-derivation, BASELINE.md): with the per-wave
+    // serial tail cut (wave-stats + termstats posting count now ride the
+    // write jobs as observed metrics) a CLEAN 1M pair measures ~0.86-0.90 —
+    // the old ~0.70 "1M Amdahl floor" that forced 2M inputs no longer
+    // exists, and 2M's 1-exec side was bimodal (spill-or-not: 275s vs 660s
+    // observed in ONE night), which made the per-rep estimator useless.
+    // Shorter reps = more reps per window = a robust median.
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "8").toInt
     val scaleCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "1,4")
       .split(",").map(_.trim.toInt).toSeq
-    val tmpRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else tmp
-    val scaleTmp = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(tmpRoot), "graft-bench-scale").toString
-    val detailed = ScalingProbe.runDetailed(scaleCores, scaleDocs, scaleReps, scaleTmp)
-    val loC = scaleCores.head
-    val hiC = scaleCores.last
-    val dpsLo = scaleDocs / detailed.map(_(loC)).min
-    val dpsHi = scaleDocs / detailed.map(_(hiC)).min
-    // median per-rep efficiency over noise-rejected reps (one-sided host
-    // slow phases are discarded symmetrically — ScalingProbe.robustEfficiency
-    // scaladoc); all per-rep values + the kept set go into the JSON
-    val (efficiency, perRepEff, keptReps) =
-      ScalingProbe.robustEfficiency(detailed, loC, hiC)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleTmp))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
 
     var spark = session(cpus)
 
-    // ---- warm the index caches so query timings are query timings --------
+    // ---- 1. warm the index caches so query timings are query timings ------
     val (_, buildFullSec) = time(IndexCache.full(spark, sfDir))
     val (_, buildTwoSec) = time(IndexCache.twoWave(spark, sfDir))
     val (_, buildAnnSec) = time(IndexCache.ann(spark, sfDir))
+    emitSection("cache_builds",
+      f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f""")
 
-    // ---- per-query timings ------------------------------------------------
+    // ---- 2. per-query timings ---------------------------------------------
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = time {
         try fn(spark, sfDir).count()
@@ -148,8 +146,12 @@ object Bench {
       }
       name -> sec
     }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    emitSection("queries", f""""total_sec":$total%.3f,"queries":$qs""")
 
-    // ---- BM25 latency distribution ----------------------------------------
+    // ---- 3. BM25 latency distribution -------------------------------------
     val searcher = new Searcher(spark, IndexCache.full(spark, sfDir))
     val termSets = Seq(
       Seq("spark", "vector", "dup"), Seq("merge", "sort"), Seq("dup"),
@@ -160,25 +162,62 @@ object Bench {
     }.sorted
     val p50 = lat(lat.size / 2)
     val p99 = lat(math.min(lat.size - 1, (lat.size * 99) / 100))
+    emitSection("bm25_latency", f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f""")
 
-    // ---- build throughput at the bench session's core count ---------------
+    // ---- 4. build throughput at the bench session's core count ------------
     val (docsPerSec, postingsPerSec) =
       buildThroughput(spark, benchDocs, s"$tmp/main", cpus)
+    emitSection("index_build",
+      f""""docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f""")
     graft.ops.Dedup.dropStaged()
     spark.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // ---- 5. scaling LAST: identical build at N vs 4N executor PROCESSES
+    // over a shared pre-generated input, under the remaining window --------
+    val scaleTmp = ScalingProbe.tmpfsTempDir("graft-bench-scale")
+    // reserve 60 s for teardown + final JSON after the probe returns
+    val scaleDeadline = deadline - 60L * 1000000000L
+    val loC = scaleCores.head
+    val hiC = scaleCores.last
+    val scalingJson = try {
+      val genLimit = math.max(60L, (scaleDeadline - System.nanoTime()) / 1000000000L / 2)
+      val genSec = ScalingProbe.prepareInput(scaleDocs, s"$scaleTmp/input", genLimit)
+      val res = ScalingProbe.runWithDeadline(scaleCores, scaleDocs, scaleReps,
+        scaleTmp, s"$scaleTmp/input", scaleDeadline)
+      if (res.reps.isEmpty)
+        f""""docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,"gen_sec":$genSec%.1f,""" +
+          s""""completed_reps":0,"failed_reps":${res.failedReps},""" +
+          s""""budget_stop":${res.budgetStop},"efficiency":null"""
+      else {
+        val dpsLo = scaleDocs / res.reps.map(_(loC)).min
+        val dpsHi = scaleDocs / res.reps.map(_(hiC)).min
+        val (efficiency, perRepEff, keptReps) =
+          ScalingProbe.robustEfficiency(res.reps, loC, hiC)
+        f""""docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,"gen_sec":$genSec%.1f,""" +
+          f""""completed_reps":${res.reps.size},"failed_reps":${res.failedReps},""" +
+          f""""budget_stop":${res.budgetStop},""" +
+          f""""docs_per_sec_lo":$dpsLo%.1f,"docs_per_sec_hi":$dpsHi%.1f,""" +
+          s""""per_rep_efficiency":[${perRepEff.map(e => f"$e%.3f").mkString(",")}],""" +
+          s""""kept_reps":[${keptReps.mkString(",")}],""" +
+          f""""efficiency":$efficiency%.3f"""
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scaling section failed: $e")
+        s""""docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,"error":"${e.getClass.getSimpleName}","efficiency":null"""
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scaleTmp))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    emitSection("scaling", scalingJson)
+
+    val wallSec = (System.nanoTime() - wall0) / 1e9
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""index_build":{"docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,""" +
         f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f},""" +
         f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f,"stale_jvms":${stale.size},""" +
-        f""""scaling":{"docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,""" +
-        f""""docs_per_sec_lo":$dpsLo%.1f,"docs_per_sec_hi":$dpsHi%.1f,""" +
-        s""""per_rep_efficiency":[${perRepEff.map(e => f"$e%.3f").mkString(",")}],""" +
-        s""""kept_reps":[${keptReps.mkString(",")}],""" +
-        f""""efficiency":$efficiency%.3f}}""")
+        f""""bench_wall_sec":$wallSec%.1f,"bench_budget_sec":$budgetSec,""" +
+        s""""scaling":{$scalingJson}}""")
   }
 }

@@ -3,6 +3,7 @@ package graft
 import graft.gen.Pages
 import graft.index.{IndexBuilder, IndexOptions}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** One timed index build at a given executor-process count — the child
   * JVM spawned by [[ScalingProbe]]. Runs `local-cluster[n,1,mem]`: n REAL
@@ -17,16 +18,21 @@ import org.apache.spark.sql.SparkSession
   * JVM per executor, which is exactly what local-cluster reproduces; the
   * threads-in-one-JVM artifact measured the sandbox, not the engine.
   *
-  * The synthetic input is generated and materialized BEFORE the timed
-  * window: the probe measures index-build scaling, not the data
-  * generator's.
+  * Modes:
+  *  - `gen <docs> <path>` — generate the synthetic corpus, assign docIds,
+  *    and write it as a 32-file parquet table ONCE (round-4 change: every
+  *    child used to regenerate + rematerialize its own input, which cost
+  *    100+ untimed seconds per child and was the main reason a full rep
+  *    set did not fit the bench window — BENCH_r03 rc=124);
+  *  - `build <execs> <docs> <dir> <input>` — the timed measurement: an
+  *    index build whose scan reads the shared input parquet, exactly the
+  *    production shape (a build job reads an Iceberg/parquet table; the
+  *    scan parallelizes with the executor count and belongs in the
+  *    measured window).
   */
 object ScalingBuild {
-  def main(args: Array[String]): Unit = {
-    val execs = args(0).toInt
-    val docs = args(1).toLong
-    val dir = args(2)
-    val spark = SparkSession.builder()
+  private def session(execs: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local-cluster[$execs,1,3072]")
       .appName(s"graft-scaling-$execs")
       .config("spark.executor.memory", "2700m")
@@ -51,6 +57,11 @@ object ScalingBuild {
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
       .config("spark.locality.wait", "0s")
+      // one input file = one scan task at EVERY executor count (a 32-file
+      // input must fan out to 32 scan tasks, not be packed into ~8 by the
+      // 128m default — identical task layout at both cluster sizes)
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
+      .config("spark.sql.files.openCostInBytes", "33554432")
       // shuffle/spill must not go through the shared /tmp disk: with 8
       // executor processes the one spindle saturates and masquerades as
       // poor scaling (cluster nodes bring their own disks; tmpfs is the
@@ -67,47 +78,86 @@ object ScalingBuild {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
-      // untimed warmup build: compiles the codegen stages, JITs the
-      // UDF/codec hot paths and exercises the parquet commit protocol once,
-      // so the timed window measures steady-state throughput (in production
-      // these one-time costs amortize over hours; round-1 protocol did the
-      // same warmup)
-      val warmPages = Pages.generate(spark, 20000L, partitions = 32)
-      val warmInput = IndexBuilder.assignDocIds(spark, warmPages, "url", 0L, 32)
-        .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
-      IndexBuilder.build(spark, warmInput, s"$dir-warmup",
-        IndexOptions(docsPerSegment = 1L << 14, withPositions = true))
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
-      val pages = Pages.generate(spark, docs, partitions = 32)
-      val input = IndexBuilder.assignDocIds(spark, pages, "url", 0L, 32)
-        .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      input.count() // materialize input outside the timed window
-      val t0 = System.nanoTime()
-      IndexBuilder.build(spark, input, dir,
-        IndexOptions(docsPerSegment = 1L << 14, withPositions = true))
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""[scaling-build] {"execs":$execs,"docs":$docs,"sec":$sec%.2f,"docs_per_sec":${docs / sec}%.1f}""")
-    } finally spark.stop()
+  private val buildOpts =
+    IndexOptions(docsPerSegment = 1L << 14, withPositions = true)
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "gen" =>
+      val docs = args(1).toLong
+      val path = args(2)
+      // 4 executors: generation is allocation-heavy, and one multi-threaded
+      // JVM hits the sandbox's same-address-space fault serialization — a
+      // small local-cluster writes the corpus fastest and this child is not
+      // a measurement
+      val spark = session(4)
+      try {
+        val t0 = System.nanoTime()
+        val pages = Pages.generate(spark, docs, partitions = 32)
+        IndexBuilder.assignDocIds(spark, pages, "url", 0L, 32)
+          .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
+          .write.mode("overwrite").parquet(path)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""[scaling-gen] {"docs":$docs,"sec":$sec%.2f}""")
+      } finally spark.stop()
+
+    case "build" =>
+      val execs = args(1).toInt
+      val docs = args(2).toLong
+      val dir = args(3)
+      val input = args(4)
+      val spark = session(execs)
+      try {
+        // untimed warmup build over a pruned slice of the input: compiles
+        // the codegen stages, JITs the UDF/codec hot paths and exercises
+        // the parquet scan + commit protocol once, so the timed window
+        // measures steady-state throughput (in production these one-time
+        // costs amortize over hours; same warmup discipline since round 1)
+        IndexBuilder.build(spark,
+          spark.read.parquet(input).where(col("docId") < 20000L),
+          s"$dir-warmup", buildOpts)
+        val t0 = System.nanoTime()
+        IndexBuilder.build(spark, spark.read.parquet(input), dir, buildOpts)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""[scaling-build] {"execs":$execs,"docs":$docs,"sec":$sec%.2f,"docs_per_sec":${docs / sec}%.1f}""")
+      } finally spark.stop()
+
+    case other => sys.error(s"unknown ScalingBuild mode: $other")
   }
 }
 
 /** Scaling-efficiency probe (BASELINE.md protocol; north_rule evidence):
   * identical build at N vs 4N executor PROCESSES (`local-cluster[n,1,..]`),
-  * same input, same plan. Each measurement runs in a freshly spawned child
-  * JVM — clean heap and JIT state per run, and full control of the env the
-  * Spark launcher needs (SPARK_SCALA_VERSION, worker dirs under /tmp).
-  * Configurations are run INTERLEAVED (A,B,A,B) and the minimum wall time
-  * per configuration is used — the sandbox host is multi-tenant and a
-  * single measurement can be off by 2-3x; min-of-reps is the standard
-  * noise-robust estimator for throughput. Run exclusively.
+  * same shared input table, same plan. Each measurement runs in a freshly
+  * spawned child JVM — clean heap and JIT state per run, and full control
+  * of the env the Spark launcher needs (SPARK_SCALA_VERSION, worker dirs
+  * under /tmp). Configurations are run INTERLEAVED (A,B,A,B) so the two
+  * configs of one rep share the host's noise phase; efficiency is the
+  * median per-rep (secLo/secHi)/(hi/lo) over noise-rejected reps
+  * ([[robustEfficiency]]). Run exclusively.
+  *
+  * Round-4 budget discipline (the BENCH_r03 rc=124 lesson): the probe
+  * takes an absolute DEADLINE, checks it before EVERY rep (including the
+  * first) against the worst observed rep cost, and every child carries a
+  * hard kill timeout — the probe can run short, but it can never blow the
+  * window.
   */
 object ScalingProbe {
 
-  /** Spawn one ScalingBuild child; returns wall seconds of its timed build. */
-  def buildInChild(execs: Int, docs: Long, dir: String): Double = {
+  final case class ScaleResult(
+      reps: Vector[Map[Int, Double]],
+      failedReps: Int,
+      budgetStop: Boolean,
+      elapsedSec: Double)
+
+  /** Spawn one ScalingBuild child with a hard kill timeout; returns the
+    * marker line's seconds, or Left(reason) on failure/timeout.
+    */
+  def runChild(mode: String, mainArgs: Seq[String], marker: String,
+      timeoutSec: Long): Either[String, Double] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     // the driver JVM gets the same processor cap as executors: uncapped it
@@ -116,7 +166,7 @@ object ScalingProbe {
     // memory faults (measured: identical 8-executor runs flip between 15.6k
     // and 2.9k docs/s without the cap)
     val cmd = javaBin :: "-Xmx8g" :: "-XX:ActiveProcessorCount=4" :: "-cp" :: cp ::
-      "graft.ScalingBuild" :: execs.toString :: docs.toString :: dir :: Nil
+      "graft.ScalingBuild" :: mode :: mainArgs.toList
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     pb.environment().put("SPARK_WORKER_DIR",
@@ -125,68 +175,124 @@ object ScalingProbe {
     sys.env.get("GRAFT_BUILD_TIMING").foreach(v =>
       pb.environment().put("GRAFT_BUILD_TIMING", v))
     val p = pb.start()
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val rd = new java.io.BufferedReader(
-      new java.io.InputStreamReader(p.getInputStream))
-    var line = rd.readLine()
-    while (line != null) {
-      out += line
-      if (line.contains("[build-phase]")) println(s"  (execs=$execs) $line")
-      line = rd.readLine()
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // drain stdout on a daemon thread so a killed child cannot deadlock the
+    // probe on a full pipe
+    val drainer = new Thread(() => {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = rd.readLine()
+      while (line != null) {
+        out.add(line)
+        if (line.contains("[build-phase]")) println(s"  ($mode) $line")
+        line = try rd.readLine() catch { case _: java.io.IOException => null }
+      }
+    })
+    drainer.setDaemon(true)
+    drainer.start()
+    val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      p.descendants().forEach(h => { h.destroyForcibly(); () })
+      p.destroyForcibly()
+      p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      Left(s"child timed out after ${timeoutSec}s (killed)")
+    } else {
+      drainer.join(5000)
+      val lines = {
+        val b = Vector.newBuilder[String]
+        out.forEach(l => { b += l; () })
+        b.result()
+      }
+      val m = lines.reverseIterator.find(_.contains(marker))
+      if (p.exitValue() != 0 || m.isEmpty)
+        Left(s"child exited ${p.exitValue()} without $marker; last output:\n" +
+          lines.takeRight(25).mkString("\n"))
+      else
+        Right(""""sec":([0-9.]+)""".r.findFirstMatchIn(m.get).get.group(1).toDouble)
     }
-    val code = p.waitFor()
-    val marker = out.reverseIterator.find(_.contains("[scaling-build]"))
-    require(code == 0 && marker.isDefined,
-      s"scaling child (execs=$execs) failed (exit $code); last output:\n" +
-        out.takeRight(25).mkString("\n"))
-    """"sec":([0-9.]+)""".r.findFirstMatchIn(marker.get).get.group(1).toDouble
   }
 
-  /** Interleaved per-rep wall seconds: result(rep)(execCount) = sec. The
-    * two configs of one rep run back-to-back and so share the host's noise
-    * phase — per-rep efficiency pairs like with like, where pairing the
-    * global minima can cross a lucky low-parallelism run with an unlucky
-    * high-parallelism one (host noise is one-sided: it only slows runs).
+  /** Generate + write the shared input table once. Fatal on failure. */
+  def prepareInput(docs: Long, path: String, timeoutSec: Long): Double =
+    runChild("gen", Seq(docs.toString, path), "[scaling-gen]", timeoutSec)
+      .fold(e => sys.error(s"scaling input generation failed: $e"), identity)
+
+  private def secsLeft(deadlineNanos: Long): Long =
+    math.max(0L, (deadlineNanos - System.nanoTime()) / 1000000000L)
+
+  /** Interleaved per-rep wall seconds under an absolute deadline:
+    * result(rep)(execCount) = sec. The two configs of one rep run
+    * back-to-back and so share the host's noise phase — per-rep efficiency
+    * pairs like with like, where pairing the global minima can cross a
+    * lucky low-parallelism run with an unlucky high-parallelism one (host
+    * noise is one-sided: it only slows runs).
     *
-    * A wall-clock budget (SPARK_GRAFT_SCALE_BUDGET_SEC, default 2700 s)
-    * stops starting NEW reps once at least 3 are complete and the budget is
-    * spent — on a host slow night a rep can take 3x its usual time, and an
-    * unbounded rep count could blow the whole bench window. Stopping on
+    * Deadline discipline: before EVERY rep (including the first), the
+    * worst completed rep's wall time (or a docs-based estimate when none
+    * has) must fit in the remaining window, else the probe stops and says
+    * so. Each child is additionally capped at min(remaining window, 3x its
+    * config's best observed time + 120 s) — a wedged child is killed and
+    * the rep recorded as failed rather than eating the window. Stopping on
     * elapsed TIME is unbiased: the decision never looks at the efficiency
-    * values. Completed-rep counts are always reported, so a short run is
-    * visible in the artifact.
+    * values.
     */
-  def runDetailed(cores: Seq[Int], docs: Long, reps: Int,
-      tmp: String): Vector[Map[Int, Double]] = {
-    val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "2700").toLong
+  def runWithDeadline(cores: Seq[Int], docs: Long, maxReps: Int,
+      tmp: String, input: String, deadlineNanos: Long): ScaleResult = {
     val t0 = System.nanoTime()
-    val out = Vector.newBuilder[Map[Int, Double]]
+    val reps = Vector.newBuilder[Map[Int, Double]]
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    val repWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var completed = 0
+    var failed = 0
+    var budgetStop = false
     var r = 0
-    var stop = false
-    while (r < reps && !stop) {
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      if (r >= 3 && elapsed > budgetSec) {
-        println(f"""{"scale_budget_stop":true,"completed_reps":$r,"elapsed_sec":$elapsed%.0f}""")
-        stop = true
+    while (r < maxReps && !budgetStop) {
+      val estimate =
+        if (repWalls.nonEmpty) repWalls.max
+        else docs / 4000.0 + 120.0 // first rep: conservative docs-based guess
+      if (secsLeft(deadlineNanos) < estimate) {
+        println(f"""{"scale_budget_stop":true,"completed_reps":$completed,"failed_reps":$failed,"estimate_sec":$estimate%.0f,"left_sec":${secsLeft(deadlineNanos)}}""")
+        budgetStop = true
       } else {
-        out += cores.map { c =>
-          val sec = buildInChild(c, docs, s"$tmp/c$c-r$r")
-          println(f"""{"execs":$c,"rep":$r,"docs":$docs,"sec":$sec%.1f,"docs_per_sec":${docs / sec}%.1f}""")
-          c -> sec
-        }.toMap
+        val rt0 = System.nanoTime()
+        val results = cores.map { c =>
+          val cap = best.get(c).map(b => (3 * b + 120).toLong)
+            .getOrElse(Long.MaxValue)
+          val timeout = math.max(60L, math.min(secsLeft(deadlineNanos), cap))
+          c -> runChild("build",
+            Seq(c.toString, docs.toString, s"$tmp/c$c-r$r", input),
+            "[scaling-build]", timeout)
+        }
+        repWalls += (System.nanoTime() - rt0) / 1e9
+        if (results.forall(_._2.isRight)) {
+          val m = results.map { case (c, e) => c -> e.toOption.get }.toMap
+          m.foreach { case (c, s) =>
+            if (s < best.getOrElse(c, Double.MaxValue)) best(c) = s
+          }
+          m.foreach { case (c, s) =>
+            println(f"""{"execs":$c,"rep":$r,"docs":$docs,"sec":$s%.1f,"docs_per_sec":${docs / s}%.1f}""")
+          }
+          reps += m
+          completed += 1
+        } else {
+          failed += 1
+          results.collect { case (c, Left(e)) =>
+            println(s"""{"rep_failed":$r,"execs":$c,"reason":${jsonStr(e.takeWhile(_ != '\n'))}}""")
+          }
+        }
         r += 1
       }
     }
-    out.result()
+    ScaleResult(reps.result(), failed, budgetStop, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Min-of-reps throughput per executor count (docs/sec). */
-  def run(cores: Seq[Int], docs: Long, reps: Int,
-      tmp: String): Map[Int, Double] = {
-    val detailed = runDetailed(cores, docs, reps, tmp)
-    cores.map(c => c -> docs / detailed.map(_(c)).min).toMap
-  }
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** Noise-rejected scaling efficiency. This host's noise is ONE-SIDED
     * (random multi-minute slow phases only ever slow a run, measured 3-4x;
@@ -217,25 +323,41 @@ object ScalingProbe {
     (eff, perRep, kept)
   }
 
+  /** tmpfs root: on one box the disk is shared across all executor counts,
+    * which under-measures cluster scaling where each node brings its own
+    * disks; memory-backed dirs make the proxy measure compute+shuffle.
+    */
+  def tmpfsTempDir(prefix: String): String = {
+    val root = if (new java.io.File("/dev/shm").isDirectory)
+      java.nio.file.Paths.get("/dev/shm")
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
+  /** Standalone CLI: `runMain graft.ScalingProbe [loCores hiCores]` with
+    * SPARK_GRAFT_SCALE_DOCS / _REPS / _BUDGET_SEC env overrides.
+    */
   def main(args: Array[String]): Unit = {
-    val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "2000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "7").toInt
+    val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "8").toInt
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "2700").toLong
     val cores = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4)
-    // tmpfs output: on one box the disk is shared across all executor
-    // counts, which under-measures cluster scaling where each node brings
-    // its own disks; memory-backed output makes the proxy measure
-    // compute+shuffle.
-    val tmpRoot = if (new java.io.File("/dev/shm").isDirectory)
-      java.nio.file.Paths.get("/dev/shm") else
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val tmp = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-scale").toString
+    val deadline = System.nanoTime() + budgetSec * 1000000000L
+    val tmp = tmpfsTempDir("graft-scale")
     try {
-      val detailed = runDetailed(cores, docs, reps, tmp)
+      val genSec = prepareInput(docs, s"$tmp/input", secsLeft(deadline))
+      println(f"""{"scaling_input_docs":$docs,"gen_sec":$genSec%.1f}""")
+      val res = runWithDeadline(cores, docs, reps, tmp, s"$tmp/input", deadline)
       val lo = cores.head
       val hi = cores.last
-      val tp = cores.map(c => c -> docs / detailed.map(_(c)).min).toMap
-      val (eff, perRep, kept) = robustEfficiency(detailed, lo, hi)
-      println(f"""{"docs":$docs,"reps":$reps,"best_docs_per_sec":{${cores.map(c => s""""$c":${tp(c).round}""").mkString(",")}},"per_rep_efficiency":[${perRep.map(e => f"$e%.3f").mkString(",")}],"kept_reps":[${kept.mkString(",")}],"efficiency_${lo}_to_$hi":$eff%.3f}""")
+      if (res.reps.isEmpty) {
+        println(s"""{"docs":$docs,"completed_reps":0,"failed_reps":${res.failedReps},"efficiency":null}""")
+      } else {
+        val tp = cores.map(c => c -> docs / res.reps.map(_(c)).min).toMap
+        val (eff, perRep, kept) = robustEfficiency(res.reps, lo, hi)
+        println(f"""{"docs":$docs,"completed_reps":${res.reps.size},"failed_reps":${res.failedReps},"best_docs_per_sec":{${cores.map(c => s""""$c":${tp(c).round}""").mkString(",")}},"per_rep_efficiency":[${perRep.map(e => f"$e%.3f").mkString(",")}],"kept_reps":[${kept.mkString(",")}],"efficiency_${lo}_to_$hi":$eff%.3f}""")
+      }
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }

@@ -15,13 +15,20 @@ import org.apache.spark.unsafe.types.UTF8String
 object IndexRegistry {
   final case class Entry(indexDir: String, idCol: String, textCol: String)
   private val entries = scala.collection.concurrent.TrieMap.empty[String, Entry]
-  // Searchers memoized per index dir: constructing one reads the manifest
-  // and pins its wave set, so building a fresh one on EVERY rule application
-  // (each spark.sql over a registered corpus) pays a per-query manifest read
-  // + file-listing planning tax. The cache is dropped whenever the registry
-  // changes (register/clear/invalidate) — which is also the refresh point
-  // after appending waves to a registered index.
-  private val searchers = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  // Searchers memoized per (session, index dir): constructing one reads the
+  // manifest and pins its wave set, so building a fresh one on EVERY rule
+  // application (each spark.sql over a registered corpus) pays a per-query
+  // manifest read + file-listing planning tax. Each cached entry is
+  // revalidated per lookup against (a) the OWNING SparkSession — a Searcher
+  // built on a stopped session holds DataFrames over a dead SparkContext,
+  // and tests/benches routinely stop one session and start another in the
+  // same JVM — and (b) the manifest's (mtime, size) stamp, so an append or
+  // compaction on a registered index is picked up automatically instead of
+  // silently serving a stale wave set until someone remembers invalidate().
+  private final case class CachedSearcher(spark: SparkSession,
+      stamp: (Long, Long), searcher: Searcher)
+  private val searchers =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), CachedSearcher]
 
   def register(tablePath: String, indexDir: String, idCol: String,
       textCol: String = "text"): Unit = {
@@ -29,12 +36,21 @@ object IndexRegistry {
     searchers.clear()
   }
   def clear(): Unit = { entries.clear(); searchers.clear() }
-  /** Drop memoized searchers (call after appending/compacting a registered
-    * index so the next query re-reads the manifest).
+  /** Drop memoized searchers. Kept for API compatibility; staleness after
+    * append/compact is now detected automatically via the manifest stamp.
     */
   def invalidate(): Unit = searchers.clear()
-  private[index] def searcherFor(spark: SparkSession, indexDir: String): Searcher =
-    searchers.getOrElseUpdate(indexDir, new Searcher(spark, indexDir))
+  private[index] def searcherFor(spark: SparkSession, indexDir: String): Searcher = {
+    val key = (System.identityHashCode(spark), indexDir)
+    val cur = ManifestIO.stamp(indexDir)
+    searchers.get(key) match {
+      case Some(c) if (c.spark eq spark) && c.stamp == cur => c.searcher
+      case _ =>
+        val s = new Searcher(spark, indexDir)
+        searchers.put(key, CachedSearcher(spark, cur, s))
+        s
+    }
+  }
   def lookup(paths: Seq[String]): Option[Entry] =
     paths.map(normalize).flatMap(p => entries.collectFirst {
       // path-component prefix: /data/corpus must NOT match /data/corpus_v2

@@ -241,8 +241,19 @@ object IndexBuilder {
       .select($"docId", $"dl", $"segId", $"ts").as[DlRow]
       .repartition(col("segId")).sortWithinPartitions("segId", "docId")
       .mapPartitions(encodeNormRuns(_, wave))
+    // wave stats ride the norms write as observed metrics (CollectMetrics):
+    // the old form re-read the written norms parquet in a separate driver
+    // job — a ~1 s serial scheduling floor per wave that the 4N-executor
+    // config cannot parallelize away (it was part of the measured Amdahl
+    // tail capping N->4N scaling efficiency)
+    val waveObs = new org.apache.spark.sql.Observation(s"wave-stats-$wave-" +
+      java.util.UUID.randomUUID().toString)
     val fNorms = Future(phase("norms-write")(
       normsDs.toDF().drop("wave") // wave comes back as the partition dir column
+        .observe(waveObs, sum($"n").as("mDocs"), sum($"sumDl").as("mTokens"),
+          min($"minDocId").as("mMinDoc"), max($"maxDocId").as("mMaxDoc"),
+          min(when($"minTs" =!= 0L, $"minTs")).as("mMinTs"),
+          max($"maxTs").as("mMaxTs"))
         .write.mode("overwrite").parquet(s"${normsPath(dir)}/wave=$wave")))
 
     // ---- postings: one row per distinct (doc, term) into the single
@@ -285,14 +296,12 @@ object IndexBuilder {
     Await.result(fNorms, Duration.Inf)
     Await.result(fPostings, Duration.Inf)
 
-    // ---- wave stats: aggregated from per-segment norms metadata ----------
-    // (one row per segment, not per doc — the stats job reads O(segments)
-    // rows instead of rescanning the forward map)
-    val metaAgg = phase("wave-stats")(
-      spark.read.parquet(s"${normsPath(dir)}/wave=$wave")
-        .agg(sum($"n"), sum($"sumDl"), min($"minDocId"), max($"maxDocId"),
-          min(when($"minTs" =!= 0L, $"minTs")), max($"maxTs"))
-        .head())
+    // ---- wave stats: observed on the norms write above (no extra job) ----
+    val metaAgg = phase("wave-stats") {
+      val m = waveObs.get
+      Row(m("mDocs"), m("mTokens"), m("mMinDoc"), m("mMaxDoc"),
+        m("mMinTs"), m("mMaxTs"))
+    }
     val numDocs = if (metaAgg.isNullAt(0)) 0L else metaAgg.getLong(0)
     val totalTokens = if (metaAgg.isNullAt(1)) 0L else metaAgg.getLong(1)
     val minDocId = if (numDocs == 0) 0L else metaAgg.getLong(2)
@@ -421,15 +430,23 @@ object IndexBuilder {
     val stats = segs.select($"term", $"df", $"tf", $"maxTf")
       .groupBy($"term")
       .agg(sum($"df").as("df"), sum($"tf").as("tf"), max($"maxTf").as("maxTf"))
+    // the wave's posting count (sum of df) is observed ON the stats write —
+    // the old read-back agg was one more ~1 s serial job in the per-wave
+    // tail. The observe node sits ABOVE the range shuffle so the range-
+    // partitioner's sampling job (which evaluates the plan below it) cannot
+    // fire the metrics early.
+    val obs = new org.apache.spark.sql.Observation(s"termstats-$wave-" +
+      java.util.UUID.randomUUID().toString)
     val out = stats.repartitionByRange(col("term")).sortWithinPartitions("term")
+      .observe(obs, sum($"df").as("mDf"))
     phase("termstats-write") {
       out.write.mode("overwrite").parquet(termstatsPath(dir) + s"/.tmpwave$wave")
       movePartition(spark, termstatsPath(dir) + s"/.tmpwave$wave",
         termstatsPath(dir) + s"/wave=$wave")
-      spark.read.parquet(termstatsPath(dir) + s"/wave=$wave")
-        .agg(sum($"df")).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
+      obs.get("mDf") match {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+        case o => o.toString.toLong
       }
     }
   }

@@ -47,6 +47,16 @@ object ManifestIO {
 
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, FileName))
 
+  /** Cheap change-detection token for a committed manifest: (mtime, size).
+    * `write` replaces the file atomically, so any commit (append, compact)
+    * changes the stamp. Used by the Searcher memo cache to revalidate
+    * without re-reading/parsing the manifest on every query.
+    */
+  def stamp(dir: String): (Long, Long) = {
+    val p = Paths.get(dir, FileName)
+    (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+  }
+
   /** Manifest reads per index dir in this JVM — a test observability hook
     * (RuleSpec asserts Searcher memoization keeps repeated queries from
     * re-reading manifests; per-dir so concurrently running suites don't

@@ -119,11 +119,13 @@ class Searcher(val spark: SparkSession, val dir: String,
     val joined =
       if (head.length <= broadcastLimit) {
         val idIdx = results.schema.fieldIndex(idCol)
-        val ids = head.map(r => r.get(idIdx) match {
-          case l: java.lang.Long => l.longValue()
-          case i: java.lang.Integer => i.longValue()
-          case o => o.toString.toLong
-        })
+        // null ids can never join; folding them into the isin set would NPE
+        val ids = head.iterator.filter(r => !r.isNullAt(idIdx)).map(r =>
+          r.get(idIdx) match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case o => o.toString.toLong
+          }).toArray
         val left = spark.createDataFrame(
           java.util.Arrays.asList(head: _*), results.schema)
         left.join(

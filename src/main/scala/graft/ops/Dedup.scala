@@ -57,48 +57,21 @@ object Dedup {
 
   private def $(s: String) = col(s)
 
-  /** Staging root for materialized intermediate tables: the explicit
-    * per-call `stagingDir` argument, else session conf
-    * `spark.graft.stagingDir`, else `<warehouse dir>/_graft_staging`. On a
-    * multi-node cluster this MUST be shared storage — a driver-local temp
-    * path resolves to per-node local disks on the executors, so the staged
-    * table would be scattered and the read-back wrong; the warehouse
-    * default is shared wherever the warehouse is.
+  /** Shared-FS staging root (see [[graft.util.Staging]]): explicit
+    * per-call `stagingDir` argument, else `spark.graft.stagingDir` conf,
+    * else `<warehouse dir>/_graft_staging` — never driver-local temp.
     */
   private[ops] def stagingRoot(spark: org.apache.spark.sql.SparkSession,
       explicit: Option[String]): String =
-    explicit
-      .orElse(spark.conf.getOption("spark.graft.stagingDir"))
-      .getOrElse(spark.conf.get("spark.sql.warehouse.dir")
-        .stripSuffix("/") + "/_graft_staging")
+    graft.util.Staging.root(spark, explicit)
 
-  private val staged =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      (org.apache.hadoop.conf.Configuration, String)]()
-  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
-
-  /** Delete the staging tables this JVM created (also runs from a JVM
-    * shutdown hook, so Verify/Bench runs cannot leak one staged table per
-    * dedup query into the staging root). Call it once the DataFrames
-    * returned by the dedup operators are fully consumed. `under` scopes the
-    * deletion to staged dirs below one root (leaving other callers' staged
-    * tables alive, e.g. concurrently running test suites).
+  /** Delete the staging tables this JVM created (delegates to the shared
+    * [[graft.util.Staging]] registry, which also reclaims streaming
+    * changelogs etc.). Call once the DataFrames returned by the dedup
+    * operators are fully consumed.
     */
-  def dropStaged(under: Option[String] = None): Unit = {
-    val keep = new java.util.ArrayList[
-      (org.apache.hadoop.conf.Configuration, String)]()
-    var e = staged.poll()
-    while (e != null) {
-      if (under.forall(u => e._2.startsWith(u)))
-        try {
-          val p = new org.apache.hadoop.fs.Path(e._2)
-          p.getFileSystem(e._1).delete(p, true)
-        } catch { case _: Throwable => () }
-      else keep.add(e)
-      e = staged.poll()
-    }
-    staged.addAll(keep): Unit
-  }
+  def dropStaged(under: Option[String] = None): Unit =
+    graft.util.Staging.dropStaged(under)
 
   /** Materialize `result` to a staging table, then release the cached
     * inputs that fed it. The persisted staging tables here are corpus-sized
@@ -110,12 +83,9 @@ object Dedup {
   private def materializeAndRelease(result: DataFrame,
       cached: Seq[DataFrame], stagingDir: Option[String]): DataFrame = {
     val spark = result.sparkSession
-    val tmp = stagingRoot(spark, stagingDir) + "/" +
-      java.util.UUID.randomUUID().toString
+    val tmp = graft.util.Staging.newStagedDir(spark, "dedup",
+      stagingDir)
     result.write.mode("overwrite").parquet(tmp)
-    staged.add((spark.sparkContext.hadoopConfiguration, tmp))
-    if (hookInstalled.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => dropStaged()))
     cached.foreach(_.unpersist())
     spark.read.parquet(tmp)
   }

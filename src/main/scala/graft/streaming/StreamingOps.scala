@@ -35,13 +35,26 @@ object StreamingOps {
       .select(unix_timestamp(col("window.start")).as("ws"),
         col("event_type"), col("n"), col("total"))
 
-  /** The file streaming source requires a directory; stage single files. */
-  private def asStreamDir(eventsPath: String): String = {
-    val p = java.nio.file.Paths.get(eventsPath)
-    if (java.nio.file.Files.isDirectory(p)) eventsPath
+  /** The file streaming source requires a directory; stage single files.
+    * The staged copy goes under the shared staging root
+    * ([[graft.util.Staging]]), NOT a driver-local temp dir: the streaming
+    * file source lists from the driver but the tasks that read the staged
+    * file run on executors, which on a multi-node cluster would resolve a
+    * driver-local path to their own (empty) local disks. The staged dir is
+    * registered for reclamation (`Staging.dropStaged`, also a shutdown
+    * hook), so repeated q22 runs do not leak one corpus copy each.
+    */
+  private def asStreamDir(spark: SparkSession, eventsPath: String): String = {
+    val src = new org.apache.hadoop.fs.Path(eventsPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(src).isDirectory) eventsPath
     else {
-      val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
-      java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+      val d = new org.apache.hadoop.fs.Path(
+        graft.util.Staging.newStagedDir(spark, "stream-src"))
+      fs.mkdirs(d)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(d, src.getName), false,
+        spark.sparkContext.hadoopConfiguration)
       d.toString
     }
   }
@@ -61,14 +74,22 @@ object StreamingOps {
   def windowedEventCountsIncremental(spark: SparkSession, eventsPath: String,
       windowSec: Int = 300, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
-    val logDir = java.nio.file.Files
-      .createTempDirectory("graft-stream-log").toString
+    // changelog goes to the shared staging root (executors write it;
+    // driver-local temp would scatter the log across node-local disks on a
+    // real cluster) and is registered for reclamation like dedup staging
+    val logDir = graft.util.Staging.newStagedDir(spark, "stream-log")
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.parquet(asStreamDir(eventsPath))
+    val stream = reader.parquet(asStreamDir(spark, eventsPath))
     // the cast inside windowedEventCountsStream also converts parquet NTZ
     // timestamps to session-TZ (UTC) instants for watermarking
     val agg = windowedEventCountsStream(stream, windowSec)
+    // seed the log with an empty frame of the changelog schema: an all-empty
+    // source (no micro-batch ever writes) must yield an empty result, not an
+    // unreadable 'Unable to infer schema' dir
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        agg.schema.add("batch_id", org.apache.spark.sql.types.LongType))
+      .write.mode("overwrite").parquet(logDir)
     val q = agg.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
@@ -95,7 +116,8 @@ object StreamingOps {
   def windowedEventCounts(spark: SparkSession, eventsPath: String,
       windowSec: Int = 300): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
-    val stream = spark.readStream.schema(schema).parquet(asStreamDir(eventsPath))
+    val stream = spark.readStream.schema(schema)
+      .parquet(asStreamDir(spark, eventsPath))
     val agg = windowedEventCountsStream(stream, windowSec)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream.outputMode("complete")
