@@ -94,14 +94,22 @@ object Compactor {
         // repack when wave boundaries left the run fragmented (avg fill
         // below half a block): decode+re-encode restores full blocks so
         // query-time block skipping stays effective after many appends.
-        // Per-posting dls are not stored, so repacked blocks inherit the
-        // min of the source blocks' minDl — sound (it lower-bounds every
-        // dl in the union) though looser than a fresh per-block min.
+        // Per-posting dls are not stored, so each posting inherits its
+        // SOURCE block's minDl (a valid per-posting lower bound); the new
+        // blocks' minDl is then the min over the source blocks they
+        // actually cover — exact when a new block draws from one source
+        // block, and never looser than the old global-min inheritance.
         val repacked =
           if (blocks.length > 1 && df < blocks.length.toLong * blockSize / 2) {
             val d = graft.codec.PostingCodec.decodeRun(blocks.toSeq)
+            val dls = new Array[Int](d.docIds.length)
+            var off = 0
+            blocks.foreach { b =>
+              java.util.Arrays.fill(dls, off, off + b.n, b.minDl)
+              off += b.n
+            }
             graft.codec.PostingCodec.encode(d.docIds, d.tfs, d.positions,
-              blockSize, defaultMinDl = blocks.iterator.map(_.minDl).min)
+              blockSize, dls = dls)
           } else blocks
         SegmentPosting(term, newWave, segId,
           df, rs.map(_.tf).sum, rs.map(_.maxTf).max, repacked)

@@ -58,13 +58,41 @@ class Searcher(val spark: SparkSession, val dir: String,
   }
   def docMeta: DataFrame = IndexBuilder.readDocMeta(spark, dir, waves)
 
-  /** Pushed-down posting fetch for a set of terms (≙ batched read_indexes,
-    * storage.rs:110-140 — one scan services all query terms).
+  /** Segment-level time pruning for a time-restricted view: segIds whose
+    * per-segment [minTs, maxTs] (norms metadata the build already stamps)
+    * overlap the query range. Wave pruning above removes whole waves;
+    * this removes non-overlapping SEGMENTS inside a surviving wave — which
+    * bites exactly when ingest order correlates with event time (a web
+    * crawl's docIds grow with crawl time, so segments are contiguous time
+    * slices). Ts-less segments (minTs=maxTs=0) are never pruned. Bounded
+    * driver collect (<= 4096 segIds, the codebase-wide pushdown
+    * discipline); wider overlaps skip the extra filter — pruning is an
+    * optimization, never a correctness dependency.
     */
-  def postings(terms: Seq[String]): Dataset[SegmentPosting] =
-    segments.where(col("term").isin(terms: _*))
-      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+  @transient private lazy val timeSegIds: Option[Seq[Long]] =
+    timeRange.flatMap { case (from, to) =>
+      val segLimit = 4096
+      val rows = IndexBuilder.readNorms(spark, dir, waves)
+        .where((col("minTs") === 0L && col("maxTs") === 0L) ||
+          (col("minTs") <= to && col("maxTs") >= from))
+        .select("segId").distinct().limit(segLimit + 1).collect()
+      if (rows.length > segLimit) None else Some(rows.map(_.getLong(0)).toSeq)
+    }
+
+  /** Pushed-down posting fetch for a set of terms (≙ batched read_indexes,
+    * storage.rs:110-140 — one scan services all query terms). Time-
+    * restricted searchers additionally push the overlapping-segId set into
+    * the scan (parquet row-group skipping on the segId-sorted files).
+    */
+  def postings(terms: Seq[String]): Dataset[SegmentPosting] = {
+    val base = segments.where(col("term").isin(terms: _*))
+    val timed = timeSegIds match {
+      case Some(ids) => base.where(col("segId").isin(ids: _*))
+      case None => base
+    }
+    timed.select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
       .as[SegmentPosting]
+  }
 
   @transient private lazy val statsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[TermStats]]()

@@ -186,6 +186,30 @@ class BuildSpec extends SparkSpec {
     assert(s.inTimeRange(0L, w0.minTs - 1).visibleWaves.isEmpty)
   }
 
+  test("time-range pruning also drops non-overlapping SEGMENTS inside a wave") {
+    // ingest order == event time (the web-crawl case): docIds ascend with
+    // ts, so each 128-doc segment is a contiguous time slice and a narrow
+    // range must prune the postings scan to the few overlapping segIds
+    val dir = scratch("timeseg")
+    val epoch = 1704067200000L
+    val rows = (0L until 1024L).map { i =>
+      (i, f"k$i%06d", "common w" + (i % 9),
+        new java.sql.Timestamp(epoch + i * 1000L))
+    }.toDF("docId", "key", "text", "ts")
+    IndexBuilder.build(spark, rows, dir, IndexOptions(docsPerSegment = 128))
+    val s = new Searcher(spark, dir)
+    val full = s.postings(Seq("common")).count()
+    assert(full == 8, "8 segments, each holding the head term once")
+    // range covering only the first two segments' timestamps
+    val pruned = s.inTimeRange(epoch, epoch + 200 * 1000L)
+    assert(pruned.visibleWaves == Seq(0), "the single wave overlaps and survives")
+    assert(pruned.postings(Seq("common")).count() == 2,
+      "only the two overlapping segments' posting rows may be scanned")
+    // pruned results stay a correct superset of the exact range
+    val ids = pruned.lookup("common").as[Long].collect()
+    assert(ids.nonEmpty && ids.forall(_ < 256))
+  }
+
   test("append does O(wave) stats work: committed wave stats files untouched") {
     val dir = scratch("incstats")
     val big = (0L until 1000L).map(i => (i, s"k$i", s"t${i % 80} common x${i % 7}"))
@@ -233,5 +257,32 @@ class BuildSpec extends SparkSpec {
     val m = Compactor.mergeWaves(spark, dir, Seq(1, 2))
     assert(m.waves.map(_.wave).sorted == Seq(0, 3))
     assert(new Searcher(spark, dir).lookup("w3").count() > 0)
+  }
+
+  test("repacked blocks inherit per-source-block minDl (tight WAND bounds survive compaction)") {
+    // three fragmented waves with distinct doc-length profiles (3/6/12
+    // tokens); after the merge repack, a new block drawn entirely from the
+    // long-doc wave must keep that wave's tight minDl, not the global min
+    val dir = scratch("repack-mindl")
+    def wave(lo: Long, words: Int) =
+      (lo until lo + 3).map(i =>
+        (i, s"k$i", ("tt" +: Seq.fill(words - 1)(s"x$i")).mkString(" ")))
+        .toDF("docId", "key", "text")
+    IndexBuilder.build(spark, wave(0, 3), dir,
+      IndexOptions(docsPerSegment = 1024, blockSize = 8))
+    IndexBuilder.append(spark, wave(3, 6), dir)
+    IndexBuilder.append(spark, wave(6, 12), dir)
+    val m = Compactor.mergeWaves(spark, dir, Seq(0, 1, 2))
+    val newWave = m.waves.map(_.wave).max
+    val blocks = IndexBuilder.readSegments(spark, dir, Seq(newWave))
+      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+      .as[SegmentPosting]
+      .collect().find(_.term == "tt").get.blocks
+    assert(blocks.map(_.n).sum == 9)
+    assert(blocks.length == 2, "9 postings at blockSize 8 must repack to 2 blocks")
+    assert(blocks.head.minDl == 3,
+      "first block spans all three source blocks -> min of their minDls")
+    assert(blocks.last.minDl == 12,
+      "last block draws only from the 12-token wave and must keep its tight bound")
   }
 }

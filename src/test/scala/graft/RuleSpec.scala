@@ -117,4 +117,34 @@ class RuleSpec extends SparkSpec {
     assert(naive.nonEmpty)
     IndexRegistry.clear()
   }
+
+  test("append to a registered index is picked up without invalidate (stamp revalidation)") {
+    // fresh table + index so other tests' cached searchers don't interfere
+    val docs = (0L until 200L)
+      .map(i => (i, s"v${i % 11} stamped$i"))
+      .toDF("doc_id", "text")
+    val tableDir = scratch("rule-stamp-table")
+    docs.write.mode("overwrite").parquet(tableDir)
+    val idxDir = scratch("rule-stamp-idx")
+    IndexBuilder.build(spark,
+      docs.selectExpr("doc_id AS docId", "CAST(doc_id AS STRING) AS key", "text"),
+      idxDir, IndexOptions(docsPerSegment = 128))
+    IndexRegistry.clear()
+    IndexRegistry.register(tableDir, idxDir, "doc_id")
+    val t0 = spark.read.parquet(tableDir)
+    assert(t0.where(graft_match(col("text"), "freshterm")).count() == 0)
+    // append docs carrying a brand-new term to BOTH the corpus table and
+    // the index; the memoized Searcher must notice the manifest changed
+    // (mtime+size stamp) and serve the new wave set with NO invalidate()
+    val extra = (200L until 220L).map(i => (i, s"freshterm doc$i"))
+      .toDF("doc_id", "text")
+    extra.write.mode("append").parquet(tableDir)
+    IndexBuilder.append(spark,
+      extra.selectExpr("doc_id AS docId", "CAST(doc_id AS STRING) AS key", "text"),
+      idxDir)
+    val t = spark.read.parquet(tableDir)
+    assert(t.where(graft_match(col("text"), "freshterm")).count() == 20,
+      "appended wave must be visible to the next query automatically")
+    IndexRegistry.clear()
+  }
 }

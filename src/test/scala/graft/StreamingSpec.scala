@@ -146,4 +146,33 @@ class StreamingSpec extends SparkSpec {
     assert(inc.except(batch).count() == 0)
     assert(inc.count() > 0)
   }
+
+  test("empty events source yields an empty changelog result, not a schema error") {
+    // no micro-batch ever writes: the pre-seeded empty changelog frame must
+    // make the compaction read back an empty result with the right schema
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val emptyDir = scratch("inc-empty")
+    spark.read.parquet(path).limit(0)
+      .write.mode("overwrite").parquet(emptyDir)
+    val inc = StreamingOps.windowedEventCountsIncremental(spark, emptyDir)
+    assert(inc.columns.toSeq == Seq("ws", "event_type", "n", "total"))
+    assert(inc.count() == 0)
+  }
+
+  test("changelog and staged stream source live under the staging root and are reclaimed") {
+    val root = scratch("stream-staging")
+    spark.conf.set("spark.graft.stagingDir", root)
+    try {
+      val path = "/root/testdata/sf0.001/events.parquet"
+      val inc = StreamingOps.windowedEventCountsIncremental(spark, path)
+      assert(inc.count() > 0)
+      val staged = new java.io.File(root).listFiles()
+      assert(staged != null && staged.exists(_.getName.startsWith("stream-log")),
+        "changelog must be staged under spark.graft.stagingDir, not driver-local temp")
+      graft.util.Staging.dropStaged(under = Some(root))
+      val after = new java.io.File(root).listFiles()
+      assert(after == null || after.isEmpty,
+        "dropStaged must reclaim streaming staging dirs")
+    } finally spark.conf.unset("spark.graft.stagingDir")
+  }
 }
