@@ -237,7 +237,8 @@ object ScalingProbe {
     * values.
     */
   def runWithDeadline(cores: Seq[Int], docs: Long, maxReps: Int,
-      tmp: String, input: String, deadlineNanos: Long): ScaleResult = {
+      tmp: String, input: String, deadlineNanos: Long,
+      repOffset: Int = 0): ScaleResult = {
     val t0 = System.nanoTime()
     val reps = Vector.newBuilder[Map[Int, Double]]
     val best = scala.collection.mutable.Map.empty[Int, Double]
@@ -247,8 +248,13 @@ object ScalingProbe {
     var budgetStop = false
     var r = 0
     while (r < maxReps && !budgetStop) {
+      // median rep wall, not max: a single phase-slowed rep must not talk
+      // the probe out of 2-3 more samples — overruns are already bounded
+      // because every child's kill timeout is capped at the remaining
+      // window (worst case: the final rep is killed at the deadline and
+      // recorded as failed; the artifact still prints)
       val estimate =
-        if (repWalls.nonEmpty) repWalls.max
+        if (repWalls.nonEmpty) repWalls.sorted.apply(repWalls.size / 2)
         else docs / 4000.0 + 120.0 // first rep: conservative docs-based guess
       if (secsLeft(deadlineNanos) < estimate) {
         println(f"""{"scale_budget_stop":true,"completed_reps":$completed,"failed_reps":$failed,"estimate_sec":$estimate%.0f,"left_sec":${secsLeft(deadlineNanos)}}""")
@@ -260,7 +266,7 @@ object ScalingProbe {
             .getOrElse(Long.MaxValue)
           val timeout = math.max(60L, math.min(secsLeft(deadlineNanos), cap))
           c -> runChild("build",
-            Seq(c.toString, docs.toString, s"$tmp/c$c-r$r", input),
+            Seq(c.toString, docs.toString, s"$tmp/c$c-r${r + repOffset}", input),
             "[scaling-build]", timeout)
         }
         repWalls += (System.nanoTime() - rt0) / 1e9
@@ -270,14 +276,14 @@ object ScalingProbe {
             if (s < best.getOrElse(c, Double.MaxValue)) best(c) = s
           }
           m.foreach { case (c, s) =>
-            println(f"""{"execs":$c,"rep":$r,"docs":$docs,"sec":$s%.1f,"docs_per_sec":${docs / s}%.1f}""")
+            println(f"""{"execs":$c,"rep":${r + repOffset},"docs":$docs,"sec":$s%.1f,"docs_per_sec":${docs / s}%.1f}""")
           }
           reps += m
           completed += 1
         } else {
           failed += 1
           results.collect { case (c, Left(e)) =>
-            println(s"""{"rep_failed":$r,"execs":$c,"reason":${jsonStr(e.takeWhile(_ != '\n'))}}""")
+            println(s"""{"rep_failed":${r + repOffset},"execs":$c,"reason":${jsonStr(e.takeWhile(_ != '\n'))}}""")
           }
         }
         r += 1
@@ -339,7 +345,7 @@ object ScalingProbe {
     */
   def main(args: Array[String]): Unit = {
     val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "8").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "2700").toLong
     val cores = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4)

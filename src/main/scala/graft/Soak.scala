@@ -74,6 +74,51 @@ object Soak {
       return
     }
 
+    // ---- SPARK_GRAFT_SOAK_MINDL_AB=1: fresh-vs-compacted WAND pruning ----
+    // The compaction repack cannot recompute exact per-block minDl (per-
+    // posting dls are not stored); each posting inherits its SOURCE block's
+    // minDl instead (Compactor.mergeWaves). This mode quantifies what that
+    // costs: the same query mix runs over (A) a fresh single-wave build of
+    // the full corpus — tight minDl everywhere — and (B) the two-wave
+    // build + tiered compact of the same corpus, and reports both exact-
+    // scoring counts. Done-bar: B within ~1% of A.
+    if (sys.env.get("SPARK_GRAFT_SOAK_MINDL_AB").contains("1")) {
+      val opts = IndexOptions(docsPerSegment = 1L << 14, withPositions = withPos)
+      val pAll = Pages.generate(spark, total, 32)
+      val dAll = IndexBuilder.assignDocIds(spark, pAll, "url", 0L, 32)
+        .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
+      val dirA = s"$dir-freshAB"
+      IndexBuilder.build(spark, dAll, dirA, opts)
+      val p0ab = Pages.generate(spark, wave0N, 32)
+      val d0ab = IndexBuilder.assignDocIds(spark, p0ab, "url", 0L, 32)
+        .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
+      val p1ab = Pages.generate(spark, total, 32).where(col("warc_ts") >
+        p0ab.agg(max(col("warc_ts"))).head().getTimestamp(0))
+      val d1ab = IndexBuilder.assignDocIds(spark, p1ab, "url", wave0N, 32)
+        .selectExpr("docId", "url AS key", "text", "warc_ts AS ts")
+      val dirB = s"$dir-compactAB"
+      IndexBuilder.build(spark, d0ab, dirB, opts)
+      IndexBuilder.append(spark, d1ab, dirB)
+      Compactor.compact(spark, dirB)
+      val mix = Seq(
+        Seq("term0000", "term0040"), Seq("term0040", "term0300", "term0700"),
+        Seq("term0700"), Seq("term0000", "term0700"), Seq("term0100", "term0200"))
+      def scored(d: String): (Long, Long) = {
+        val se = new Searcher(spark, d)
+        se.bm25(mix.head, 10).count() // warmup outside the counted window
+        val c0 = Searcher.scoredCount.sum()
+        var hits = 0L
+        (0 until 15).foreach(i => hits += se.bm25(mix(i % mix.size), 10).count())
+        (Searcher.scoredCount.sum() - c0, hits)
+      }
+      val (sa, ha) = scored(dirA)
+      val (sb, hb) = scored(dirB)
+      require(ha == hb, s"A/B top-k cardinality diverged: $ha vs $hb")
+      println(f"""{"soak_mindl_ab_docs":$total,"scored_fresh":$sa,"scored_compacted":$sb,"ratio":${sb.toDouble / sa}%.4f}""")
+      spark.stop()
+      return
+    }
+
     // wave 0: pages [0, wave0N) — warc_ts is monotone in i, so splitting by
     // generator index keeps wave time ranges disjoint (append discipline)
     val p0 = Pages.generate(spark, wave0N, 32)
