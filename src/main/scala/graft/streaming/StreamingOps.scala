@@ -17,6 +17,26 @@ object StreamingOps {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `f` with streaming checkpoint FILE CHECKSUMS disabled, restoring
+    * the caller's setting after. Spark 4.1's ChecksumCheckpointFileManager
+    * leaks its worker threads when a query stops (measured: ~32 threads
+    * PER QUERY accumulating across repeated bounded runs, with matching
+    * rep-over-rep slowdown from the checksum I/O). The bounded-run helpers
+    * below use throwaway TEMP checkpoints that are never resumed, so the
+    * checksums protect nothing there; durable-checkpoint paths
+    * ([[ingestStream]]) keep the session's setting untouched.
+    */
+  private def withoutCheckpointChecksums[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The production streaming form: watermarked tumbling-window aggregation
     * over an event stream, returned as an unstarted streaming DataFrame for
     * the caller to sink (update mode + an incremental sink — kafka/delta/
@@ -90,14 +110,16 @@ object StreamingOps {
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         agg.schema.add("batch_id", org.apache.spark.sql.types.LongType))
       .write.mode("overwrite").parquet(logDir)
-    val q = agg.writeStream.outputMode("update")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(logDir): Unit
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withoutCheckpointChecksums(spark) {
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty)
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(logDir): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(logDir)
       .groupBy(col("ws"), col("event_type"))
       .agg(max_by(struct(col("n"), col("total")), col("batch_id")).as("v"))
@@ -120,9 +142,11 @@ object StreamingOps {
       .parquet(asStreamDir(spark, eventsPath))
     val agg = windowedEventCountsStream(stream, windowSec)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withoutCheckpointChecksums(spark) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
