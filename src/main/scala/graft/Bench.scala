@@ -179,7 +179,7 @@ object Bench {
     val (_, streamWarmSec) = time {
       val warmDir = s"$tmp/streamwarm"
       spark.range(0, 64).selectExpr(
-        "timestamp_add(SECOND, CAST(id AS INT), timestamp'2024-01-01 00:00:00') AS ts",
+        "timestamp_seconds(1704067200 + id) AS ts",
         "'w' AS event_type", "CAST(id AS DOUBLE) AS value")
         .coalesce(1).write.parquet(warmDir)
       graft.streaming.StreamingOps
