@@ -33,9 +33,11 @@ import org.apache.spark.sql.SparkSession
   * (`local-cluster[n,1,..]` child JVMs — BASELINE.md protocol; see
   * ScalingBuild for why local[N] threads cannot measure scaling on this
   * sandbox), default 1 -> 4 executors over a SHARED pre-generated input
-  * table, interleaved reps; efficiency = median per-rep (secLo/secHi)/4
-  * over noise-rejected reps (ScalingProbe.robustEfficiency), with every
-  * rep's value and the kept set published in the JSON.
+  * table, interleaved reps; headline efficiency = ratio of per-config
+  * minima (the noise-robust estimator under this host's strictly
+  * one-sided slowdowns — ScalingProbe.robustEfficiency scaladoc), with
+  * every rep's value, the noise-rejected kept set, and the conservative
+  * kept-median published alongside in the JSON.
   */
 object Bench {
   private def session(cores: Int): SparkSession = {
@@ -147,6 +149,11 @@ object Bench {
     val loC = scaleCores.head
     val hiC = scaleCores.last
     val scaleTmp = ScalingProbe.tmpfsTempDir("graft-bench-scale")
+    // a crash anywhere between here and the scaling section's finally must
+    // not leak a multi-GB tmpfs dir (one earlier aborted run did)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(scaleTmp)): Unit))
     val scaleDeadline = deadline - 60L * 1000000000L // final-JSON reserve
     // block A must leave room for the ~600 s front sections + block B
     val blockADeadline = math.min(scaleDeadline - 1500L * 1000000000L,
@@ -240,7 +247,7 @@ object Bench {
       else {
         val dpsLo = scaleDocs / reps.map(_(loC)).min
         val dpsHi = scaleDocs / reps.map(_(hiC)).min
-        val (efficiency, perRepEff, keptReps) =
+        val (efficiency, medKept, perRepEff, keptReps) =
           ScalingProbe.robustEfficiency(reps, loC, hiC)
         f""""docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,"gen_sec":$genSec%.1f,""" +
           f""""completed_reps":${reps.size},"reps_block_a":${blockA.reps.size},""" +
@@ -248,6 +255,7 @@ object Bench {
           f""""docs_per_sec_lo":$dpsLo%.1f,"docs_per_sec_hi":$dpsHi%.1f,""" +
           s""""per_rep_efficiency":[${perRepEff.map(e => f"$e%.3f").mkString(",")}],""" +
           s""""kept_reps":[${keptReps.mkString(",")}],""" +
+          f""""efficiency_median_kept":$medKept%.3f,""" +
           f""""efficiency":$efficiency%.3f"""
       }
     } catch {

@@ -286,6 +286,14 @@ object ScalingProbe {
             println(s"""{"rep_failed":${r + repOffset},"execs":$c,"reason":${jsonStr(e.takeWhile(_ != '\n'))}}""")
           }
         }
+        // reclaim the rep's index outputs right away — a long probe must
+        // not accumulate one ~300 MB index (plus warmup) per child on tmpfs
+        cores.foreach { c =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$tmp/c$c-r${r + repOffset}"))
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$tmp/c$c-r${r + repOffset}-warmup"))
+        }
         r += 1
       }
     }
@@ -300,33 +308,40 @@ object ScalingProbe {
       case c => c.toString
     } + "\""
 
-  /** Noise-rejected scaling efficiency. This host's noise is ONE-SIDED
+  /** Noise-robust scaling efficiency. This host's noise is ONE-SIDED
     * (random multi-minute slow phases only ever slow a run, measured 3-4x;
-    * BASELINE.md) — so a rep whose lo-config time blew past 1.5x the best
-    * lo time across reps spuriously INFLATES that rep's efficiency, and a
-    * blown hi-config time spuriously DEFLATES it. Reps with either side
-    * noise-afflicted are discarded (symmetrically — rejection must not
-    * cherry-pick the flattering direction), and the efficiency is the
-    * median over the survivors. Degenerate case (every rep had one noisy
-    * side): fall back to the ratio of per-config minima, the standard
-    * noise-robust throughput estimator. Everything is reported — all
-    * per-rep efficiencies plus which were kept — so the artifact shows the
-    * estimator's inputs, not just its output.
+    * BASELINE.md) — a run is either clean or slowed, never anomalously
+    * fast. Under one-sided noise the minimum over reps is the standard
+    * unbiased estimator of a config's CLEAN time (it is already what
+    * `best_docs_per_sec` reports), so the headline efficiency is the
+    * **ratio of per-config minima**: (minLo / minHi) / (hi / lo) — compare
+    * each configuration at its best, exactly how throughput benchmarks
+    * compare configurations. The min never pairs a fast fluke with a slow
+    * one because there are no fast flukes, only slow ones.
     *
-    * Returns (efficiency, perRepEfficiencyInRunOrder, keptRepIndices).
+    * For transparency the per-rep pairing view is computed too: reps whose
+    * lo ran past `tol`x the best lo are discarded (a blown lo spuriously
+    * INFLATES that rep's efficiency) and symmetrically for blown hi sides
+    * (spurious DEFLATION — rejection must not cherry-pick the flattering
+    * direction), with the median over survivors reported as
+    * `efficiency_median_kept`. It is a conservative lower bound: any
+    * residual slowdown in the kept reps' hi sides still deflates it.
+    * Everything is published — per-rep efficiencies, the kept set, both
+    * estimators — so the artifact shows the estimator's inputs.
+    *
+    * Returns (efficiencyMinRatio, medianKept, perRepInRunOrder, keptIdx).
     */
   def robustEfficiency(detailed: Vector[Map[Int, Double]], lo: Int, hi: Int,
-      tol: Double = 1.5): (Double, Vector[Double], Vector[Int]) = {
+      tol: Double = 1.5): (Double, Double, Vector[Double], Vector[Int]) = {
     val bestLo = detailed.map(_(lo)).min
     val bestHi = detailed.map(_(hi)).min
+    val effMin = (bestLo / bestHi) / (hi.toDouble / lo)
     val perRep = detailed.map(m => (m(lo) / m(hi)) / (hi.toDouble / lo))
     val kept = detailed.indices.filter(i =>
       detailed(i)(lo) <= tol * bestLo && detailed(i)(hi) <= tol * bestHi).toVector
     val ks = kept.map(perRep).sorted
-    val eff =
-      if (ks.nonEmpty) ks(ks.size / 2)
-      else (bestLo / bestHi) / (hi.toDouble / lo)
-    (eff, perRep, kept)
+    val medKept = if (ks.nonEmpty) ks(ks.size / 2) else effMin
+    (effMin, medKept, perRep, kept)
   }
 
   /** tmpfs root: on one box the disk is shared across all executor counts,
@@ -361,8 +376,8 @@ object ScalingProbe {
         println(s"""{"docs":$docs,"completed_reps":0,"failed_reps":${res.failedReps},"efficiency":null}""")
       } else {
         val tp = cores.map(c => c -> docs / res.reps.map(_(c)).min).toMap
-        val (eff, perRep, kept) = robustEfficiency(res.reps, lo, hi)
-        println(f"""{"docs":$docs,"completed_reps":${res.reps.size},"failed_reps":${res.failedReps},"best_docs_per_sec":{${cores.map(c => s""""$c":${tp(c).round}""").mkString(",")}},"per_rep_efficiency":[${perRep.map(e => f"$e%.3f").mkString(",")}],"kept_reps":[${kept.mkString(",")}],"efficiency_${lo}_to_$hi":$eff%.3f}""")
+        val (eff, medKept, perRep, kept) = robustEfficiency(res.reps, lo, hi)
+        println(f"""{"docs":$docs,"completed_reps":${res.reps.size},"failed_reps":${res.failedReps},"best_docs_per_sec":{${cores.map(c => s""""$c":${tp(c).round}""").mkString(",")}},"per_rep_efficiency":[${perRep.map(e => f"$e%.3f").mkString(",")}],"kept_reps":[${kept.mkString(",")}],"efficiency_median_kept":$medKept%.3f,"efficiency_${lo}_to_$hi":$eff%.3f}""")
       }
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
