@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
   * scaling probe used to run FIRST and ate the whole window before a
   * single query timing printed):
   *
-  *  0. scaling input generated once + scaling block A (<= 3 reps, bounded
-  *     to the first ~20 minutes — see the phase-sampling rationale at the
+  *  0. scaling input generated once + scaling block A (<= 5 reps, bounded
+  *     to the first ~28 minutes — see the phase-sampling rationale at the
   *     block-A code);
   *  1. cache builds (warm the indexes so query timings are query timings);
   *  2. per-query suite at `SPARK_GRAFT_SF_DIR`;
@@ -155,15 +155,20 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(scaleTmp)): Unit))
     val scaleDeadline = deadline - 60L * 1000000000L // final-JSON reserve
-    // block A must leave room for the ~600 s front sections + block B
-    val blockADeadline = math.min(scaleDeadline - 1500L * 1000000000L,
-      wall0 + 1300L * 1000000000L)
+    // block A gets the larger share: in every observed two-block run the
+    // early window (before this JVM commits its multi-GB local[32] heap)
+    // produced the clean reps and the late window the phase-slowed ones
+    // (BASELINE.md round 4) — block B is kept as the temporal-diversity
+    // hedge, not the workhorse. A must still leave room for the ~600 s
+    // front sections + at least one B rep.
+    val blockADeadline = math.min(scaleDeadline - 1200L * 1000000000L,
+      wall0 + 1700L * 1000000000L)
     var genSec = -1.0
     val blockA = try {
       genSec = ScalingProbe.prepareInput(scaleDocs, s"$scaleTmp/input",
         math.max(60L, budgetSec / 4))
       val a = ScalingProbe.runWithDeadline(scaleCores, scaleDocs,
-        math.min(3, scaleReps), scaleTmp, s"$scaleTmp/input", blockADeadline)
+        math.min(5, scaleReps), scaleTmp, s"$scaleTmp/input", blockADeadline)
       emitSection("scaling_block_a",
         s""""completed_reps":${a.reps.size},"failed_reps":${a.failedReps}""")
       a
@@ -228,6 +233,10 @@ object Bench {
       f""""docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f""")
     graft.ops.Dedup.dropStaged()
     spark.stop()
+    // ask G1 to uncommit this JVM's now-idle multi-GB heap before block B's
+    // children run: the scaling children should not share the box with a
+    // fully committed local[32] heap they never benefit from
+    System.gc()
 
     // ---- 5. scaling block B under the remaining window, then merge -------
     val scalingJson = try {
