@@ -15,9 +15,12 @@ import org.apache.spark.sql.SparkSession
   *     to the first ~28 minutes — see the phase-sampling rationale at the
   *     block-A code);
   *  1. cache builds (warm the indexes so query timings are query timings);
-  *  2. per-query suite at `SPARK_GRAFT_SF_DIR`;
+  *  2. per-query suite at `SPARK_GRAFT_SF_DIR` — N full interleaved passes
+  *     (default 2), per-query MIN published plus every raw pass (the same
+  *     one-sided-noise estimator the scaling section uses);
   *  3. BM25 latency distribution;
-  *  4. index-build throughput (the BASELINE.md headline);
+  *  4. index-build throughput (the BASELINE.md headline) — best of 2
+  *     builds, raw reps published;
   *  5. scaling block B under whatever remains of the whole-run budget
   *     (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 3000 s), merged with block
   *     A into one estimator — every block checks the deadline before EVERY
@@ -200,18 +203,44 @@ object Bench {
     emitSection("cache_builds",
       f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f,"stream_warm_sec":$streamWarmSec%.3f""")
 
-    // ---- 2. per-query timings ---------------------------------------------
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+    // ---- 2. per-query timings: min over interleaved passes ----------------
+    // The host's slow phases are strictly ONE-SIDED (a run is clean or
+    // slowed, never fast — BASELINE.md noise model), and they last minutes:
+    // BENCH_r04 timed each query ONCE and its suite caught a slow phase
+    // (45.1 s / q22 9.2 s) while the same-day, same-binary rehearsal
+    // measured 27.6 s / 3.8 s. Same medicine the scaling section already
+    // takes: run FULL passes back-to-back (each pass is a different ~30 s
+    // time window, so a phase boundary falls between passes, not inside a
+    // query's reps), publish the per-query MIN as the estimate and every
+    // raw pass alongside.
+    val queryPasses = sys.env.getOrElse("SPARK_GRAFT_QUERY_PASSES", "2").toInt
+    val qNames = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (0 until queryPasses).map { pass =>
+      val p = qNames.map { case (name, fn) =>
+        val (_, sec) = time {
+          try fn(spark, sfDir).count()
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name pass $pass: $e"); -1L
+          }
+        }
+        name -> sec
       }
-      name -> sec
+      emitSection(s"queries_pass_$pass",
+        f""""pass_total_sec":${p.map(_._2).sum}%.3f""")
+      p
+    }
+    val results = qNames.zipWithIndex.map { case ((name, _), i) =>
+      name -> passes.map(_(i)._2).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val rawPasses = passes.map(p =>
+      p.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    emitSection("queries", f""""total_sec":$total%.3f,"queries":$qs""")
+    emitSection("queries",
+      f""""total_sec":$total%.3f,"queries":$qs,"query_passes":$rawPasses""")
 
     // ---- 3. BM25 latency distribution -------------------------------------
     val searcher = new Searcher(spark, IndexCache.full(spark, sfDir))
@@ -227,11 +256,19 @@ object Bench {
     emitSection("bm25_latency", f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f""")
 
     // ---- 4. build throughput at the bench session's core count ------------
-    val (docsPerSec, postingsPerSec) =
-      buildThroughput(spark, benchDocs, s"$tmp/main", cpus)
+    // Same one-sided-noise defense as the query suite: two builds, keep the
+    // best (r4 committed 12.8k docs/s in a slow phase; the same-day
+    // rehearsal 29.4k), publish both raw reps.
+    val buildReps = (0 until 2).map { i =>
+      buildThroughput(spark, benchDocs, s"$tmp/main$i", cpus)
+    }
+    val (docsPerSec, postingsPerSec) = buildReps.maxBy(_._1)
+    val buildRepsJson = buildReps
+      .map(r => f"""{"docs_per_sec":${r._1}%.1f,"postings_per_sec":${r._2}%.1f}""")
+      .mkString("[", ",", "]")
     emitSection("index_build",
-      f""""docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f""")
-    graft.ops.Dedup.dropStaged()
+      f""""docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,"build_reps":$buildRepsJson""")
+    graft.util.Staging.dropStaged() // full drain: dedup + streaming staging
     spark.stop()
     // ask G1 to uncommit this JVM's now-idle multi-GB heap before block B's
     // children run: the scaling children should not share the box with a
@@ -243,9 +280,13 @@ object Bench {
       val blockB =
         if (genSec < 0) // input prep failed earlier; nothing to run against
           ScalingProbe.ScaleResult(Vector.empty, 0, budgetStop = false, 0.0)
+        // failed A reps count against the total too: scaleReps bounds
+        // ATTEMPTED reps across both blocks, so a run with failures can
+        // never attempt more children than the configured cap
         else ScalingProbe.runWithDeadline(scaleCores, scaleDocs,
-          scaleReps - blockA.reps.size, scaleTmp, s"$scaleTmp/input",
-          scaleDeadline, repOffset = blockA.reps.size + blockA.failedReps)
+          scaleReps - blockA.reps.size - blockA.failedReps, scaleTmp,
+          s"$scaleTmp/input", scaleDeadline,
+          repOffset = blockA.reps.size + blockA.failedReps)
       val reps = blockA.reps ++ blockB.reps
       val failed = blockA.failedReps + blockB.failedReps
       val budgetStop = blockB.budgetStop
@@ -279,8 +320,8 @@ object Bench {
 
     val wallSec = (System.nanoTime() - wall0) / 1e9
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        f""""index_build":{"docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_passes":$rawPasses,"sf":"$sfDir",""" +
+        f""""index_build":{"docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,"build_reps":$buildRepsJson,""" +
         f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f,"stream_warm_sec":$streamWarmSec%.3f},""" +
         f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f,"stale_jvms":${stale.size},""" +
         f""""bench_wall_sec":$wallSec%.1f,"bench_budget_sec":$budgetSec,""" +

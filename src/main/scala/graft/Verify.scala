@@ -37,7 +37,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    graft.ops.Dedup.dropStaged() // results are written out; reclaim staging
+    // full end-of-run drain (all results are written out): dedup staging,
+    // streaming changelogs, staged stream sources
+    graft.util.Staging.dropStaged()
     spark.stop()
   }
 }

@@ -28,6 +28,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Compactor {
 
+  /** Ceiling on physical docmeta dirs one logical wave may reference before
+    * a merge consolidates them (see the docmeta section of [[mergeWaves]]).
+    */
+  val MaxDocmetaFragments = 64
+
   /** Apply the reference's tiered policy until stable; returns final manifest. */
   def compact(spark: SparkSession, dir: String, ratio: Long = 4L): IndexManifest = {
     var m = ManifestIO.read(dir)
@@ -51,7 +56,8 @@ object Compactor {
   }
 
   /** Merge the given waves into a new wave id = max(all waves) + 1. */
-  def mergeWaves(spark: SparkSession, dir: String, waves: Seq[Int]): IndexManifest = {
+  def mergeWaves(spark: SparkSession, dir: String, waves: Seq[Int],
+      maxDocmetaFragments: Int = MaxDocmetaFragments): IndexManifest = {
     import spark.implicits._
     require(waves.size >= 2, "need at least two waves to merge")
     val t0 = System.nanoTime()
@@ -149,14 +155,33 @@ object Compactor {
       IndexBuilder.normsPath(dir) + s"/wave=$newWave")
     del(spark, IndexBuilder.normsPath(dir) + s"/.tmpwave$newWave")
 
-    // --- docmeta: plain rewrite under the new wave -------------------------
-    spark.read.parquet(IndexBuilder.docmetaPath(dir))
-      .where(col("wave").isin(waves: _*)).drop("wave")
-      .repartitionByRange(col("docId")).sortWithinPartitions("docId")
-      .write.mode("overwrite").parquet(IndexBuilder.docmetaPath(dir) + s"/wave=$newWave")
+    // --- docmeta: virtual merge (no I/O) with bounded fragmentation --------
+    // The forward map is corpus-sized, and a merge changes NOTHING about its
+    // content: wave docId ranges are disjoint and each wave's docmeta dir is
+    // already range-partitioned/sorted by docId. So the merged wave simply
+    // REFERENCES the source waves' physical docmeta dirs via
+    // WaveInfo.docmetaWaves (union of their lists) — zero bytes moved, and
+    // crash-safe by construction because the manifest commit is the only
+    // state change (a physical rename before the commit would break the old
+    // manifest's view; after it, the new one's). Readers union the
+    // referenced dirs (IndexBuilder.readDocMeta over docmetaWaveIds); the
+    // per-file docId min/max stats that drive resolve()'s isin pushdown are
+    // untouched. Only when the accumulated fragment list would exceed
+    // MaxDocmetaFragments does the merge fall back to the physical rewrite
+    // (write-new -> commit -> delete-old, crash-safe as before), bounding
+    // directory-listing growth to O(MaxDocmetaFragments) dirs at an
+    // amortized rewrite cost of corpus/MaxDocmetaFragments per merge.
+    val olds = waves.map(byId)
+    val mergedDmw = olds.flatMap(_.docmetaWaveIds).distinct.sorted.toList
+    val physicalDocmeta = mergedDmw.length > maxDocmetaFragments
+    if (physicalDocmeta)
+      spark.read.parquet(IndexBuilder.docmetaPath(dir))
+        .where(col("wave").isin(mergedDmw: _*)).drop("wave")
+        .repartitionByRange(col("docId")).sortWithinPartitions("docId")
+        .write.mode("overwrite")
+        .parquet(IndexBuilder.docmetaPath(dir) + s"/wave=$newWave")
 
     // --- commit ------------------------------------------------------------
-    val olds = waves.map(byId)
     val sec = (System.nanoTime() - t0) / 1e9
     val wi = WaveInfo(newWave,
       numDocs = olds.map(_.numDocs).sum,
@@ -167,16 +192,22 @@ object Compactor {
       maxTs = olds.map(_.maxTs).max,
       buildSec = sec,
       docsPerSec = olds.map(_.numDocs).sum / sec,
-      postingsPerSec = 0.0)
+      postingsPerSec = 0.0,
+      docmetaWaves = if (physicalDocmeta) Nil else mergedDmw)
     val m1 = m0.copy(waves = m0.waves.filterNot(w => waves.contains(w.wave)) :+ wi)
     IndexBuilder.writeWaveTermStats(spark, dir, newWave)
     ManifestIO.write(dir, m1)
-    // old wave data no longer referenced; reclaim
+    // old wave data no longer referenced; reclaim. Docmeta dirs are kept
+    // alive while any committed wave still references them (virtual merge);
+    // after a physical consolidation the whole old fragment set is dead.
+    val liveDocmeta = m1.waves.flatMap(_.docmetaWaveIds).toSet
     waves.foreach { w =>
       del(spark, IndexBuilder.segmentsPath(dir) + s"/wave=$w")
       del(spark, IndexBuilder.normsPath(dir) + s"/wave=$w")
-      del(spark, IndexBuilder.docmetaPath(dir) + s"/wave=$w")
       del(spark, IndexBuilder.termstatsPath(dir) + s"/wave=$w")
+    }
+    (mergedDmw.toSet -- liveDocmeta).foreach { w =>
+      del(spark, IndexBuilder.docmetaPath(dir) + s"/wave=$w")
     }
     m1
   }

@@ -26,7 +26,7 @@ object IndexRegistry {
   // compaction on a registered index is picked up automatically instead of
   // silently serving a stale wave set until someone remembers invalidate().
   private final case class CachedSearcher(spark: SparkSession,
-      stamp: (Long, Long), searcher: Searcher)
+      stamp: (Long, Long, String), searcher: Searcher)
   private val searchers =
     scala.collection.concurrent.TrieMap.empty[(Int, String), CachedSearcher]
 
@@ -46,6 +46,14 @@ object IndexRegistry {
     searchers.get(key) match {
       case Some(c) if (c.spark eq spark) && c.stamp == cur => c.searcher
       case _ =>
+        // sweep entries owned by STOPPED sessions before inserting: a
+        // replaced entry is overwritten by the put below, but a
+        // stop-one-session-start-another cycle changes the identity key, so
+        // without the sweep every dead session would pin its CachedSearcher
+        // (and the dead SparkContext behind its DataFrames) in this map for
+        // the JVM's lifetime. Insert-time is the right frequency: hits (the
+        // hot path) stay a single map read.
+        searchers.filterInPlace((_, c) => !c.spark.sparkContext.isStopped)
         val s = new Searcher(spark, indexDir)
         searchers.put(key, CachedSearcher(spark, cur, s))
         s

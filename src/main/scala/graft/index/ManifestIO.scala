@@ -28,9 +28,11 @@ object ManifestIO {
 
   def toJson(m: IndexManifest): String = {
     val waves = m.waves.map { w =>
+      val dmw = if (w.docmetaWaves.isEmpty) ""
+        else s""","docmetaWaves":[${w.docmetaWaves.mkString(",")}]"""
       s"""{"wave":${w.wave},"numDocs":${w.numDocs},"totalTokens":${w.totalTokens},""" +
         s""""minDocId":${w.minDocId},"maxDocId":${w.maxDocId},"minTs":${w.minTs},"maxTs":${w.maxTs},""" +
-        s""""buildSec":${w.buildSec},"docsPerSec":${w.docsPerSec},"postingsPerSec":${w.postingsPerSec}}"""
+        s""""buildSec":${w.buildSec},"docsPerSec":${w.docsPerSec},"postingsPerSec":${w.postingsPerSec}$dmw}"""
     }.mkString("[", ",", "]")
     s"""{"version":${m.version},"tokenizer":"${esc(m.tokenizer)}","docsPerSegment":${m.docsPerSegment},""" +
       s""""blockSize":${m.blockSize},"withPositions":${m.withPositions},""" +
@@ -47,14 +49,21 @@ object ManifestIO {
 
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, FileName))
 
-  /** Cheap change-detection token for a committed manifest: (mtime, size).
-    * `write` replaces the file atomically, so any commit (append, compact)
-    * changes the stamp. Used by the Searcher memo cache to revalidate
-    * without re-reading/parsing the manifest on every query.
+  /** Cheap change-detection token for a committed manifest: (mtime, size,
+    * fileKey) from ONE stat call. `write` replaces the file atomically via
+    * a rename, which gives the manifest a NEW inode — so the fileKey
+    * component changes on EVERY commit, closing the (mtime, size) aliasing
+    * hole where two commits inside the same millisecond producing the same
+    * byte count would serve a silently stale Searcher. Filesystems that
+    * report no fileKey (returns null) fall back to mtime+size alone.
     */
-  def stamp(dir: String): (Long, Long) = {
+  def stamp(dir: String): (Long, Long, String) = {
     val p = Paths.get(dir, FileName)
-    (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+    val attrs = Files.readAttributes(
+      p, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = attrs.fileKey()
+    (attrs.lastModifiedTime().toMillis, attrs.size(),
+      if (key == null) "" else key.toString)
   }
 
   /** Manifest reads per index dir in this JVM — a test observability hook
@@ -97,7 +106,17 @@ object ManifestIO {
         maxTs = w.get("maxTs").asLong(),
         buildSec = w.get("buildSec").asDouble(),
         docsPerSec = w.get("docsPerSec").asDouble(),
-        postingsPerSec = w.get("postingsPerSec").asDouble())
+        postingsPerSec = w.get("postingsPerSec").asDouble(),
+        docmetaWaves = {
+          val n = w.get("docmetaWaves")
+          if (n == null) Nil
+          else {
+            val it = n.elements()
+            val b = scala.collection.mutable.ListBuffer.empty[Int]
+            while (it.hasNext) b += it.next().asInt()
+            b.toList
+          }
+        })
     }
     IndexManifest(
       version = root.get("version").asInt(),

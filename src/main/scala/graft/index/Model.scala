@@ -60,6 +60,16 @@ final case class IndexOptions(
   * reference, /root/reference/src/storage/storage.rs:336-358, but committed
   * atomically via manifest-last ordering — the reference's acknowledged
   * write-loss TODO at storage.rs:345-348 is deliberately NOT reproduced).
+  *
+  * `docmetaWaves` lists the PHYSICAL `docmeta/wave=N` dirs holding this
+  * wave's forward map; empty means "my own wave dir" (the build/append
+  * case). Compaction merges docmeta VIRTUALLY by unioning the source
+  * waves' lists instead of rewriting the corpus-sized forward map every
+  * merge: wave docId ranges are disjoint and each dir is already
+  * range-partitioned/sorted by docId, so the union of dirs serves reads
+  * identically — and since nothing moves on disk, the manifest commit
+  * stays the only visible state change (crash-safe by construction,
+  * unlike a rename performed before OR after the commit).
   */
 final case class WaveInfo(
     wave: Int,
@@ -71,7 +81,12 @@ final case class WaveInfo(
     maxTs: Long,
     buildSec: Double,
     docsPerSec: Double,
-    postingsPerSec: Double)
+    postingsPerSec: Double,
+    docmetaWaves: List[Int] = Nil) {
+  /** Physical docmeta wave dirs backing this logical wave. */
+  def docmetaWaveIds: Seq[Int] =
+    if (docmetaWaves.isEmpty) Seq(wave) else docmetaWaves
+}
 
 final case class IndexManifest(
     version: Int,

@@ -56,7 +56,14 @@ class Searcher(val spark: SparkSession, val dir: String,
     df.select("wave", "segId", "n", "docBytes", "dlBytes",
       "sumDl", "minDocId", "maxDocId", "minTs", "maxTs").as[SegmentNorms]
   }
-  def docMeta: DataFrame = IndexBuilder.readDocMeta(spark, dir, waves)
+  def docMeta: DataFrame = {
+    // logical wave -> physical docmeta dirs: compaction merges the forward
+    // map virtually (WaveInfo.docmetaWaves), so the visible waves' docmeta
+    // may live under the pre-merge wave=N dirs
+    val physical = manifest.waves.filter(w => waves.contains(w.wave))
+      .flatMap(_.docmetaWaveIds).distinct
+    IndexBuilder.readDocMeta(spark, dir, physical)
+  }
 
   /** Segment-level time pruning for a time-restricted view: segIds whose
     * per-segment [minTs, maxTs] (norms metadata the build already stamps)

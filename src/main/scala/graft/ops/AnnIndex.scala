@@ -53,17 +53,24 @@ object AnnIndex {
 
   /** Build the index under `dir` from (idCol LONG, vecCol ARRAY<FLOAT>). */
   def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
-      dim: Int, tables: Int = 16, planes: Int = 4, seed: Long = 42L): Unit = {
+      dim: Int, tables: Int = 16, planes: Int = 4, seed: Long = 42L,
+      splitsPerBucket: Int = 4): Unit = {
+    require(splitsPerBucket >= 1)
     val spark = df.sparkSession
     val buckets = Similarity.signBuckets(col(vecCol), tables, planes, seed, dim)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
         posexplode(buckets).as(Seq("tbl", "bucket")))
       // co-locate each (tbl, bucket) before the partitioned write: without
       // this every input split would write a file into every bucket dir
-      // (splits x tables x 2^planes tiny files). At production scale add an
-      // intra-bucket split key (e.g. pmod(hash(id), splitsPerBucket)) to
-      // this repartition so hot buckets span several writers/files.
-      .repartition(col("tbl"), col("bucket"))
+      // (splits x tables x 2^planes tiny files). The intra-bucket split key
+      // caps the other extreme: a HOT bucket (skewed vector distribution
+      // hashing many rows to one sign pattern) would otherwise funnel into
+      // one writer task; pmod(hash(id), splitsPerBucket) spreads it across
+      // up to splitsPerBucket writers/files, bounding both task skew and
+      // per-file size at a worst-case cost of splitsPerBucket files per
+      // bucket dir.
+      .repartition(col("tbl"), col("bucket"),
+        pmod(hash(col("id")), lit(splitsPerBucket)))
       .write.mode("overwrite").partitionBy("tbl", "bucket")
       .parquet(dataPath(dir))
     writeParams(spark, dir, Params(dim, tables, planes, seed))

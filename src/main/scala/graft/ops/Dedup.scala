@@ -65,13 +65,16 @@ object Dedup {
       explicit: Option[String]): String =
     graft.util.Staging.root(spark, explicit)
 
-  /** Delete the staging tables this JVM created (delegates to the shared
-    * [[graft.util.Staging]] registry, which also reclaims streaming
-    * changelogs etc.). Call once the DataFrames returned by the dedup
-    * operators are fully consumed.
+  /** Delete the staging tables the DEDUP operators created in this JVM
+    * (prefix-scoped delegation to the shared [[graft.util.Staging]]
+    * registry — streaming changelogs and staged stream sources registered
+    * by other operators are left alone, since their consuming DataFrames
+    * may still be lazy). Call once the DataFrames returned by the dedup
+    * operators are fully consumed; use `Staging.dropStaged()` directly for
+    * a full end-of-run drain.
     */
   def dropStaged(under: Option[String] = None): Unit =
-    graft.util.Staging.dropStaged(under)
+    graft.util.Staging.dropStaged(under, prefix = Some("dedup"))
 
   /** Materialize `result` to a staging table, then release the cached
     * inputs that fed it. The persisted staging tables here are corpus-sized
@@ -267,28 +270,80 @@ object Dedup {
     f(toksCol)
   }
 
+  /** Tag each banded row with an intra-bucket salt: rows of a (band, bucket)
+    * holding more than `threshold` rows get `salts` deterministic salt
+    * groups (`pmod(hash(id), salts)`); everything else gets a single group
+    * (salt 0, nsalts 1) and pays NOTHING over the unsalted plan. The
+    * hot-bucket set is found by one cheap map-side-combined count (at most
+    * 4 x 2^16 groups) and broadcast back, so no second corpus shuffle.
+    * Exposed private[graft] so the skew test can assert a degenerate corpus
+    * really spans several salt groups.
+    */
+  private[graft] def saltHotBuckets(banded: DataFrame, threshold: Int,
+      salts: Int): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > threshold)
+    banded.join(broadcast(hot), Seq("band", "bucket"), "left")
+      .withColumn("nsalts",
+        when(col("__bn").isNotNull, lit(salts)).otherwise(lit(1)))
+      .withColumn("salt", pmod(hash(col("id")), col("nsalts")))
+      .drop("__bn")
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
     * 16-bit bands (a pair within distance d <= 3 must agree on at least one
     * of 4 bands — pigeonhole). Returns (a, b, hamming).
+    *
+    * Skew guard: a degenerate corpus (boilerplate-heavy or near-empty docs
+    * collapsing to one fingerprint) funnels a whole bucket into ONE join
+    * task. Buckets above `hotBucketThreshold` rows are therefore salted
+    * into `hotBucketSalts` groups ([[saltHotBuckets]]) and the self-join
+    * runs per salt-group pair: group i joins group j under key
+    * (band, bucket, i, j) — the left side enumerates j >= its own salt, the
+    * right side enumerates i <= its own salt, so every unordered pair
+    * appears under exactly one key and the bucket's O(n^2) work spreads
+    * over salts(salts+1)/2 shuffle keys. Same-group keys keep the id<id
+    * guard; cross-group keys accept both orders and normalize with
+    * least/greatest. Non-hot buckets have one group, which degenerates to
+    * exactly the unsalted plan.
+    *
+    * The (id, fingerprint) table is computed ONCE and persisted — the
+    * MD5-per-token simhash UDF previously ran on both join sides — and the
+    * result goes through [[materializeAndRelease]] like the other dedup
+    * ops, so the cache is released as soon as the pairs are staged.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, stagingDir: Option[String] = None,
+      hotBucketThreshold: Int = 4096, hotBucketSalts: Int = 8): DataFrame = {
     require(maxDist <= 3,
       s"4-band/16-bit blocking only guarantees recall for maxDist <= 3 (got $maxDist)")
+    require(hotBucketSalts >= 1 && hotBucketThreshold >= 1)
     val sh = df.where(size(tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         simhash(tokens(col(textCol))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
+    val salted = saltHotBuckets(banded, hotBucketThreshold, hotBucketSalts)
+    val left = salted.select(col("id"), col("sh"), col("band"), col("bucket"),
+      col("salt").as("sa"),
+      explode(sequence(col("salt"), col("nsalts") - 1)).as("sb"))
+    val right = salted.select(col("id"), col("sh"), col("band"), col("bucket"),
+      explode(sequence(lit(0), col("salt"))).as("sa"),
+      col("salt").as("sb"))
     val popcount = udf((x: Long) => java.lang.Long.bitCount(x))
-    banded.as("x").join(banded.as("y"),
+    val out = left.as("x").join(right.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
+          col("x.sa") === col("y.sa") && col("x.sb") === col("y.sb") &&
+          (col("x.sa") < col("x.sb") || col("x.id") < col("y.id")))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"),
         popcount(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
+    materializeAndRelease(out, Seq(sh), stagingDir)
   }
 }

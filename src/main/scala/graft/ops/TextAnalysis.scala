@@ -5,8 +5,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-quality / profiling operators for training-data pipelines.
-  * Everything here is built from Catalyst built-ins (codegen'd; no UDFs in
-  * the hot path) and is deterministic, so each has an exact SQL oracle.
+  *
+  * Each per-doc profile is computed by ONE deterministic UDF doing a single
+  * `Tokenize.tokenizeScala` pass (the build pipeline's hot-path twin of the
+  * Column tokenizer, property-tested equivalent — Text.scala). The first
+  * form of these operators composed Catalyst `aggregate()` lambdas over a
+  * re-evaluated `Tokenize.col` array; higher-order functions are
+  * CodegenFallback (interpreted), and the tokenize expression ran 3-4x per
+  * row — the same tax the index build already measured at ~10% and removed
+  * (IndexBuilder's tokenize UDF emits (dl, entries) directly). Ratio/argmax
+  * arithmetic on the emitted counts stays in codegen'd built-ins, so oracle
+  * SQL semantics (round/nullif/coalesce) are untouched.
   */
 object TextAnalysis {
 
@@ -25,59 +34,115 @@ object TextAnalysis {
 
   private def toks(c: Column) = Tokenize.col(c)
 
-  /** (n_tokens, n_terms, avg_token_len) per row. */
+  /** (n_tokens, n_terms, avg_token_len) per row. One tokenize pass emits the
+    * three counts; null text propagates as a null struct (field nulls), the
+    * same rows the Column form produced under ANSI size(NULL)=NULL.
+    */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
-    df.select(col(idCol),
-      size(t).cast("long").as("n_tokens"),
-      size(array_distinct(t)).cast("long").as("n_terms"),
-      round(
-        coalesce(
-          aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
-            nullif(size(t).cast("double"), lit(0.0)),
-          lit(0.0)), 4).as("avg_token_len"))
+    val statsUdf = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val ts = Tokenize.tokenizeScala(s)
+        val distinct = new java.util.HashSet[String](ts.length * 2)
+        var sumLen = 0L
+        var i = 0
+        while (i < ts.length) {
+          distinct.add(ts(i)): Unit
+          sumLen += ts(i).length
+          i += 1
+        }
+        (ts.length.toLong, distinct.size.toLong, sumLen)
+      }
+    }
+    val st = statsUdf(col(textCol))
+    df.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st._1").as("n_tokens"),
+        col("__st._2").as("n_terms"),
+        round(
+          coalesce(
+            col("__st._3").cast("double") /
+              nullif(col("__st._1").cast("double"), lit(0.0)),
+            lit(0.0)), 4).as("avg_token_len"))
   }
 
   /** Quality metrics: stopword ratio, alphabetic-char ratio, and a boolean
     * keep flag (length window + stopword ceiling) — the usual cheap quality
-    * gate before expensive pipeline stages.
+    * gate before expensive pipeline stages. Token/stopword counts come from
+    * one tokenize UDF; the char-level alpha ratio stays pure Catalyst
+    * (regexp_replace/length are codegen'd builtins over the raw string).
     */
   def quality(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
       minTokens: Int = 5, maxTokens: Int = 100000,
       maxStopRatio: Double = 0.9): DataFrame = {
-    val t = toks(col(textCol))
-    val nTok = size(t).cast("double")
-    val nStop = aggregate(t, lit(0L),
-      (acc, x) => acc + when(x.isin(stopwords: _*), 1L).otherwise(0L)).cast("double")
+    val stopSet = stopwords.toSet
+    val countsUdf = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val ts = Tokenize.tokenizeScala(s)
+        var nStop = 0L
+        var i = 0
+        while (i < ts.length) {
+          if (stopSet.contains(ts(i))) nStop += 1
+          i += 1
+        }
+        (ts.length.toLong, nStop)
+      }
+    }
+    val st = countsUdf(col(textCol))
     val alpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double")
     val total = length(col(textCol)).cast("double")
-    df.select(col(idCol),
-      size(t).cast("long").as("n_tokens"),
-      round(coalesce(nStop / nullif(nTok, lit(0.0)), lit(0.0)), 4).as("stop_ratio"),
-      round(coalesce(alpha / nullif(total, lit(0.0)), lit(0.0)), 4).as("alpha_ratio"),
-      (size(t) >= minTokens && size(t) <= maxTokens &&
-        coalesce(nStop / nullif(nTok, lit(0.0)), lit(0.0)) <= maxStopRatio)
-        .as("keep"))
+    df.select(col(idCol), st.as("__q"), alpha.as("__alpha"), total.as("__total"))
+      .select(col(idCol),
+        col("__q._1").as("n_tokens"),
+        round(coalesce(col("__q._2").cast("double") /
+          nullif(col("__q._1").cast("double"), lit(0.0)), lit(0.0)), 4)
+          .as("stop_ratio"),
+        round(coalesce(col("__alpha") / nullif(col("__total"), lit(0.0)),
+          lit(0.0)), 4).as("alpha_ratio"),
+        (col("__q._1") >= minTokens && col("__q._1") <= maxTokens &&
+          coalesce(col("__q._2").cast("double") /
+            nullif(col("__q._1").cast("double"), lit(0.0)), lit(0.0))
+            <= maxStopRatio)
+          .as("keep"))
   }
 
-  /** Heuristic language id from marker-word counts (see [[langMarkers]]). */
+  /** Heuristic language id from marker-word counts (see [[langMarkers]]).
+    * One tokenize pass counts every language's markers (a token naming a
+    * marker in several languages scores each); the argmax keeps
+    * [[langMarkers]] declaration order on ties (strict >), all-zero -> "und"
+    * — exactly the Column-fold semantics the oracle SQL encodes.
+    */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
-    val scores = langMarkers.map { case (lang, ms) =>
-      lang -> aggregate(t, lit(0L),
-        (acc, x) => acc + when(x.isin(ms: _*), 1L).otherwise(0L))
+    val langs = langMarkers.map(_._1).toArray
+    val markerToLangs: Map[String, Array[Int]] =
+      langMarkers.zipWithIndex
+        .flatMap { case ((_, ms), i) => ms.map(_ -> i) }
+        .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).toArray }
+    val bestUdf = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val counts = new Array[Long](langs.length)
+        val ts = Tokenize.tokenizeScala(s)
+        var i = 0
+        while (i < ts.length) {
+          markerToLangs.get(ts(i)).foreach { ls =>
+            var j = 0
+            while (j < ls.length) { counts(ls(j)) += 1; j += 1 }
+          }
+          i += 1
+        }
+        var best = 0
+        var k = 1
+        while (k < counts.length) {
+          if (counts(k) > counts(best)) best = k
+          k += 1
+        }
+        if (counts(best) > 0) langs(best) else "und"
+      }
     }
-    // deterministic argmax in declaration order (strict > keeps priority)
-    val best = scores.tail.foldLeft(
-      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
-      case (acc, (lang, s)) =>
-        when(s > acc.getField("s"), struct(s.as("s"), lit(lang).as("l")))
-          .otherwise(acc)
-    }
-    df.select(col(idCol),
-      when(best.getField("s") > 0, best.getField("l"))
-        .otherwise(lit("und")).as("lang_pred"))
+    df.select(col(idCol), bestUdf(col(textCol)).as("lang_pred"))
   }
 
   /** Canonical document fingerprint: md5 of the space-joined token stream

@@ -25,17 +25,27 @@ object StreamingOps {
     * below use throwaway TEMP checkpoints that are never resumed, so the
     * checksums protect nothing there; durable-checkpoint paths
     * ([[ingestStream]]) keep the session's setting untouched.
+    *
+    * The flip mutates SESSION-global runtime conf, so it is serialized on a
+    * JVM-wide lock: two interleaved bounded runs would otherwise each
+    * restore the other's temporary "false" as the final setting. The lock
+    * cannot protect an unrelated DURABLE-checkpoint query the caller
+    * starts concurrently on the SAME session mid-f (it would capture
+    * fileChecksum=false at start) — start durable queries outside a
+    * bounded helper call, or on their own session.
     */
-  private def withoutCheckpointChecksums[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private val checksumFlipLock = new Object
+  private def withoutCheckpointChecksums[T](spark: SparkSession)(f: => T): T =
+    checksumFlipLock.synchronized {
+      val key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try f
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** The production streaming form: watermarked tumbling-window aggregation
     * over an event stream, returned as an unstarted streaming DataFrame for

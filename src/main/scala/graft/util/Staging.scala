@@ -53,17 +53,23 @@ object Staging {
 
   /** Delete the staged dirs this JVM registered. `under` scopes deletion
     * to staged dirs below one root (leaving other callers' staged tables
-    * alive, e.g. concurrently running test suites). A dir that fails to
-    * delete is logged and RE-QUEUED so a later call can retry — only
+    * alive, e.g. concurrently running test suites); `prefix` scopes it to
+    * one component's dirs by [[newStagedDir]] prefix (so e.g. dedup
+    * cleanup cannot delete a streaming changelog whose DataFrame is still
+    * lazy — the registry is JVM-wide across operators). A dir that fails
+    * to delete is logged and RE-QUEUED so a later call can retry — only
     * NonFatal failures are swallowed (an InterruptedException or VM error
     * must not be eaten by cleanup).
     */
-  def dropStaged(under: Option[String] = None): Unit = {
+  def dropStaged(under: Option[String] = None,
+      prefix: Option[String] = None): Unit = {
     val keep = new java.util.ArrayList[
       (org.apache.hadoop.conf.Configuration, String)]()
     var e = staged.poll()
     while (e != null) {
-      if (under.forall(u => e._2.startsWith(u))) {
+      val base = e._2.substring(e._2.lastIndexOf('/') + 1)
+      if (under.forall(u => e._2.startsWith(u)) &&
+          prefix.forall(p => base.startsWith(p + "-"))) {
         try {
           val p = new org.apache.hadoop.fs.Path(e._2)
           p.getFileSystem(e._1).delete(p, true): Unit

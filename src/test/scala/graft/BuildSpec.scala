@@ -259,6 +259,63 @@ class BuildSpec extends SparkSpec {
     assert(new Searcher(spark, dir).lookup("w3").count() > 0)
   }
 
+  test("compaction merges docmeta virtually: zero forward-map I/O, identical reads") {
+    val dir = scratch("dmw")
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"k$i", s"w${i % 20} body")).toDF("docId", "key", "text")
+    IndexBuilder.build(spark, slice(0, 100), dir, IndexOptions(docsPerSegment = 64))
+    IndexBuilder.append(spark, slice(100, 200), dir)
+    val before = new Searcher(spark, dir).docMeta
+      .select("docId", "key", "dl", "ts").as[(Long, String, Int, Long)]
+      .collect().sortBy(_._1).toSeq
+    val dmp = IndexBuilder.docmetaPath(dir)
+    def hasWaveDir(w: Int) = new java.io.File(
+      dmp.stripPrefix("file:") + s"/wave=$w").exists()
+
+    val m = Compactor.mergeWaves(spark, dir, Seq(0, 1))
+    val wi = m.waves.find(_.wave == 2).get
+    assert(wi.docmetaWaves == List(0, 1),
+      "merged wave must reference the source docmeta dirs, not rewrite them")
+    assert(hasWaveDir(0) && hasWaveDir(1), "referenced docmeta dirs must survive")
+    assert(!hasWaveDir(2), "virtual merge must write NO new docmeta dir")
+    // reads over the merged index are byte-identical, incl. resolve()
+    val s2 = new Searcher(spark, dir)
+    val after = s2.docMeta.select("docId", "key", "dl", "ts")
+      .as[(Long, String, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(after == before)
+    val resolved = s2.resolve(s2.lookup("w7")).select("docId", "key")
+      .as[(Long, String)].collect().toMap
+    assert(resolved.nonEmpty && resolved.forall { case (id, k) => k == s"k$id" })
+    // the docmetaWaves round-trip through the manifest json
+    assert(ManifestIO.read(dir).waves.find(_.wave == 2).get.docmetaWaves ==
+      List(0, 1))
+
+    // fragment ceiling: forcing maxDocmetaFragments=1 consolidates
+    // physically — fresh wave=N dir, stale fragments reclaimed, reads equal
+    IndexBuilder.append(spark, slice(200, 250), dir)
+    val m2 = Compactor.mergeWaves(spark, dir, Seq(2, 3), maxDocmetaFragments = 1)
+    val wi2 = m2.waves.find(_.wave == 4).get
+    assert(wi2.docmetaWaves.isEmpty, "physical consolidation owns its wave dir")
+    assert(hasWaveDir(4), "consolidated docmeta dir must exist")
+    assert(!hasWaveDir(0) && !hasWaveDir(1) && !hasWaveDir(3),
+      "dead fragments must be reclaimed after consolidation")
+    val all = new Searcher(spark, dir).docMeta
+      .select("docId", "key").as[(Long, String)].collect()
+    assert(all.length == 250 && all.forall { case (id, k) => k == s"k$id" })
+  }
+
+  test("manifest stamp changes on every commit, even byte-identical ones") {
+    val dir = scratch("stamp")
+    val m = IndexManifest(IndexBuilder.Version, Tokenize.Version, 256, 128,
+      withPositions = true, waves = Nil)
+    ManifestIO.write(dir, m)
+    val s1 = ManifestIO.stamp(dir)
+    ManifestIO.write(dir, m) // same payload, same size, same millisecond
+    val s2 = ManifestIO.stamp(dir)
+    assert(s1 != s2,
+      "stamp must include the inode fileKey so same-ms same-size rewrites are seen")
+  }
+
   test("repacked blocks inherit per-source-block minDl (tight WAND bounds survive compaction)") {
     // three fragmented waves with distinct doc-length profiles (3/6/12
     // tokens); after the merge repack, a new block drawn entirely from the

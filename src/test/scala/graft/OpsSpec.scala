@@ -62,6 +62,46 @@ class OpsSpec extends SparkSpec {
     assert(m.get((7L, 202L)).forall(_ <= 3))
   }
 
+  test("simhash hot-bucket salting: degenerate corpus spreads, pairs stay exact") {
+    // worst-case skew: byte-identical docs -> ONE fingerprint -> every band
+    // funnels its whole population into a single bucket
+    val n = 40
+    val same = (0 until n).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(same, "doc_id", "text", maxDist = 3,
+      hotBucketThreshold = 8, hotBucketSalts = 4)
+      .as[(Long, Long, Int)].collect()
+    // every unordered pair exactly once, a < b, hamming 0
+    assert(pairs.length == n * (n - 1) / 2)
+    assert(pairs.forall(p => p._1 < p._2 && p._3 == 0))
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+
+    // mechanism: the hot bucket really spans several salt groups (no
+    // single-task funnel), while a small bucket keeps exactly one group
+    val banded = ((0 until n).map(i => (i.toLong, 0L, 0, 7L)) ++
+      Seq((100L, 1L, 0, 9L), (101L, 1L, 0, 9L)))
+      .toDF("id", "sh", "band", "bucket")
+    val salted = Dedup.saltHotBuckets(banded, threshold = 8, salts = 4)
+    val hotSalts = salted.where(col("bucket") === 7L)
+      .select("salt").distinct().count()
+    val coldSalts = salted.where(col("bucket") === 9L)
+      .select("salt").distinct().collect().map(_.getInt(0)).toSeq
+    assert(hotSalts > 1, "hot bucket must be split across salt groups")
+    assert(coldSalts == Seq(0), "cold bucket must stay a single group")
+  }
+
+  test("simhash salted plan is result-identical to the unsalted plan") {
+    val skewed = planted.union(
+      (300 until 330).map(i => (i.toLong, "copy pasta boilerplate text"))
+        .toDF("doc_id", "text"))
+    def run(threshold: Int) =
+      Dedup.simhashPairs(skewed, "doc_id", "text", maxDist = 3,
+        hotBucketThreshold = threshold, hotBucketSalts = 4)
+        .as[(Long, Long, Int)].collect().toSet
+    assert(run(1000000) == run(2)) // salting never active vs aggressively active
+  }
+
   test("LSH ANN achieves recall >= 0.5 of brute-force top-10") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val ids = emb.select("vec_id").as[Long].collect().take(5)
