@@ -215,13 +215,19 @@ object Bench {
     // raw pass alongside.
     val queryPasses = sys.env.getOrElse("SPARK_GRAFT_QUERY_PASSES", "2").toInt
     val qNames = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Sink = a noop-format write, NOT count(): count lets Catalyst prune
+    // every unused projection, so a projection-only query (q17-q21) would
+    // be timed as little more than a parquet metadata scan — measured: the
+    // interpreted-HOF q19 cost 3.6 ms/doc under full evaluation while its
+    // `.count()` "timing" sat at 0.3 s regardless. The noop sink evaluates
+    // every output column and discards the rows executor-side.
     val passes = (0 until queryPasses).map { pass =>
       val p = qNames.map { case (name, fn) =>
         val (_, sec) = time {
-          try fn(spark, sfDir).count()
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           catch {
             case e: Throwable =>
-              System.err.println(s"[bench] $name pass $pass: $e"); -1L
+              System.err.println(s"[bench] $name pass $pass: $e")
           }
         }
         name -> sec

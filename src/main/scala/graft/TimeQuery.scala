@@ -26,12 +26,14 @@ object TimeQuery {
       val fn = SparkEntry.queries(name)
       val s0 = graft.index.Searcher.scoredCount.sum()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // noop sink, not count(): count would let Catalyst prune unused
+      // projections and time projection-only queries as metadata scans
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
       val scored = graft.index.Searcher.scoredCount.sum() - s0
       // `scored` = exact BM25 scorings this rep (local-mode pruning
       // diagnostic; 0 for non-BM25 queries)
-      println(f"[timequery] $name rep$r rows=$n sec=$sec%.2f scored=$scored")
+      println(f"[timequery] $name rep$r sec=$sec%.2f scored=$scored")
     }
     graft.ops.Dedup.dropStaged()
     spark.stop()

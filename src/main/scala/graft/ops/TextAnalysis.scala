@@ -68,9 +68,10 @@ object TextAnalysis {
 
   /** Quality metrics: stopword ratio, alphabetic-char ratio, and a boolean
     * keep flag (length window + stopword ceiling) — the usual cheap quality
-    * gate before expensive pipeline stages. Token/stopword counts come from
-    * one tokenize UDF; the char-level alpha ratio stays pure Catalyst
-    * (regexp_replace/length are codegen'd builtins over the raw string).
+    * gate before expensive pipeline stages. Token, stopword, AND alpha-char
+    * counts all come from the one UDF pass (the regexp_replace form of the
+    * alpha count was the op's remaining per-doc regex scan); only the cheap
+    * `length(text)` denominator stays a Catalyst builtin.
     */
   def quality(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
@@ -87,19 +88,31 @@ object TextAnalysis {
           if (stopSet.contains(ts(i))) nStop += 1
           i += 1
         }
-        (ts.length.toLong, nStop)
+        // alpha chars counted in the same pass over the raw string: every
+        // ASCII letter is one UTF-16 unit AND one code point, and [a-zA-Z]
+        // can never match a surrogate half, so this equals
+        // length(regexp_replace(text, '[^a-zA-Z]', '')) exactly — without
+        // the per-doc regex scan
+        var nAlpha = 0L
+        var j = 0
+        while (j < s.length) {
+          val c = s.charAt(j)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) nAlpha += 1
+          j += 1
+        }
+        (ts.length.toLong, nStop, nAlpha)
       }
     }
     val st = countsUdf(col(textCol))
-    val alpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double")
+    val alpha = col("__q._3").cast("double")
     val total = length(col(textCol)).cast("double")
-    df.select(col(idCol), st.as("__q"), alpha.as("__alpha"), total.as("__total"))
+    df.select(col(idCol), st.as("__q"), total.as("__total"))
       .select(col(idCol),
         col("__q._1").as("n_tokens"),
         round(coalesce(col("__q._2").cast("double") /
           nullif(col("__q._1").cast("double"), lit(0.0)), lit(0.0)), 4)
           .as("stop_ratio"),
-        round(coalesce(col("__alpha") / nullif(col("__total"), lit(0.0)),
+        round(coalesce(alpha / nullif(col("__total"), lit(0.0)),
           lit(0.0)), 4).as("alpha_ratio"),
         (col("__q._1") >= minTokens && col("__q._1") <= maxTokens &&
           coalesce(col("__q._2").cast("double") /
@@ -147,8 +160,20 @@ object TextAnalysis {
 
   /** Canonical document fingerprint: md5 of the space-joined token stream
     * (normalization-stable: case/punctuation-insensitive identity).
+    *
+    * The join string comes from one tokenizeScala pass; md5 stays the
+    * Catalyst builtin over those UTF-8 bytes, so the digest is
+    * byte-identical to the old `md5(concat_ws(" ", Tokenize.col(text)))`
+    * form — which was this operator's whole cost (regex split + two
+    * interpreted HOF passes + re-join: measured 116 us/doc, the slowest of
+    * the four text profilers once timings forced full evaluation).
     */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      md5(concat_ws(" ", toks(col(textCol)))).as("fp"))
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val joinedUdf = udf { (s: String) =>
+      // "" (not null) for null text: concat_ws skips null args, so the old
+      // form digested the empty string — keep that exact behavior
+      if (s == null) "" else String.join(" ", Tokenize.tokenizeScala(s): _*)
+    }
+    df.select(col(idCol), md5(joinedUdf(col(textCol))).as("fp"))
+  }
 }
