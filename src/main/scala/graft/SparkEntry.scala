@@ -59,6 +59,18 @@ object IndexCache {
       graft.ops.AnnIndex.build(emb, "vec_id", "embedding", dir, dim)
       dir
     })
+
+  /** Persisted IVF ANN index over the embeddings table (list-partitioned
+    * layout — queries prune the scan to nprobe lists, IvfIndex scaladoc).
+    */
+  def ivf(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"ivf:$sfDir", {
+      val dir = s"$root/ivf-${math.abs(sfDir.hashCode)}"
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val dim = emb.select("embedding").head().getSeq[Float](0).length
+      graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, dim)
+      dir
+    })
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -233,6 +245,26 @@ object SparkEntry {
           .collect().map(r => (r.getLong(0), r.getDouble(1))), 10)
         .toDF("vec_id", "cos")
     }),
+    // IVF-Flat counterpart of q16: deterministic k-means coarse quantizer,
+    // list-partitioned layout. topK is CERTIFIED-exact: the spherical
+    // triangle-inequality bound (IvfIndex.listBound, backed by each list's
+    // persisted widest member angle) closes the probe set over whatever
+    // lists could still hold a top-k member, so the exact brute-force SQL
+    // is a hard oracle for the whole quantize->prune->rescore path on ANY
+    // corpus — this synthetic one is cosine-diffuse and certifies most
+    // lists; tight corpora prune to a handful (OpsSpec pruning test).
+    "q25_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      roundedTopK(n =>
+        graft.ops.IvfIndex.topK(s, IndexCache.ivf(s, dir), q, n, excludeId = Some(0L))
+          .select(col("id").as("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))), 10)
+        .toDF("vec_id", "cos")
+    }),
     // ---- text analysis ---------------------------------------------------
     "q17_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"),
@@ -380,6 +412,7 @@ object SparkEntry {
         "WHERE round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.4"),
     "q15_ann_topk" -> bruteAnnOracleSql,
     "q16_ann_lsh" -> bruteAnnOracleSql,
+    "q25_ann_ivf" -> bruteAnnOracleSql,
     // q17-q20 oracles LEFT JOIN the token aggregates back to documents with
     // COALESCE defaults, and fingerprint over the tokenized form — so they
     // stay equivalent to the Spark side on corpora with empty / all-punct

@@ -1,0 +1,297 @@
+package graft.ops
+
+import graft.functions.VectorFunctions.cosine_sim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) index for nearest-neighbor search — the
+  * centroid-quantized counterpart of [[AnnIndex]]'s random-hyperplane LSH
+  * layout (IVF-Flat: a k-means coarse quantizer routes each vector to its
+  * nearest-centroid list; a query scans only the lists that can matter).
+  *
+  * Scale shape, mirroring [[AnnIndex]]:
+  *
+  *  - the list id is the PHYSICAL partition key of the parquet layout, so a
+  *    query touches exactly its probed partitions — Spark partition pruning
+  *    eliminates the rest of the corpus from the scan;
+  *  - the centroid table is tiny (`nlist` rows) and lives next to the data
+  *    as parquet; probe selection is a driver-side argmax over it — no
+  *    per-query shuffle, no join;
+  *  - an intra-list split key (`pmod(hash(id), splits)`) bounds writer/task
+  *    skew for hot lists, exactly like AnnIndex's intra-bucket split;
+  *  - unlike LSH (tables x replication), IVF stores each vector ONCE.
+  *
+  * Two query modes:
+  *
+  *  - [[topKApprox]] — classic fixed-`nprobe` IVF: probe the `nprobe`
+  *    closest lists, exact cosine re-rank inside them. Recall depends on
+  *    how cluster-aligned the corpus is.
+  *  - [[topK]] — EXACT top-k with triangle-inequality pruning: the build
+  *    stores each list's widest member angle as `min_cos(member, centroid)`,
+  *    and for a query at angle theta_q to a centroid no member of that list
+  *    can beat `cos(theta_q - theta_max)` (spherical triangle inequality:
+  *    `theta(q,x) >= theta(q,c) - theta(c,x)`). The search probes a first
+  *    batch of lists, then scans every remaining list whose bound reaches
+  *    the running k-th cosine — after which the k-th can only rise, so no
+  *    further list qualifies and the loop terminates in at most two probe
+  *    rounds. Tightly clustered corpora prune to a handful of lists;
+  *    diffuse corpora degrade gracefully toward a full scan but NEVER lose
+  *    a true neighbor. The bound needs no acos/cos round-trip
+  *    ([[listBound]]), so its only rounding is ~1-ulp double arithmetic,
+  *    covered by a 1e-12 slack.
+  *
+  * Training is deterministic end-to-end (FIXTURES.md: no unseeded RNG):
+  * centroids initialize from the `nlist` vectors with the smallest seeded
+  * id hash (a deterministic pseudo-random sample, planned as TakeOrdered —
+  * no full sort), then `iters` Lloyd rounds run as Spark jobs: broadcast
+  * centroids -> per-row nearest-list assignment -> dim-wise mean per list
+  * via `posexplode + groupBy(list, i).avg` (map-side combined; at most
+  * `nlist x dim` rows ever reach the driver). At 100-TB corpus scale train
+  * on a deterministic hash sample (`trainSampleMod` keeps one row in N —
+  * k-means quality needs only a sample; assignment still sees every row).
+  *
+  * Assignment metric is COSINE (argmax over lists, ties to the lowest list
+  * id), matching the query-time ranking: cosine is scale-invariant in the
+  * centroid, so ranking against un-normalized dim-wise means equals ranking
+  * against normalized ones.
+  */
+object IvfIndex {
+
+  final case class Params(dim: Int, nlist: Int, seed: Long, iters: Int)
+
+  /** One coarse list: centroid + the widest member angle's cosine
+    * (`minCos = min over members of cos(member, centroid)`; 0.0 — i.e.
+    * 90 degrees, the convention for zero vectors — when the list is empty).
+    */
+  final case class ListInfo(list: Int, centroid: Array[Float], minCos: Double)
+
+  private def dataPath(dir: String) = s"$dir/vectors"
+  private def centroidsPath(dir: String) = s"$dir/centroids"
+  private def paramsPath(dir: String) = s"$dir/ivf_params.json"
+
+  private def writeParams(spark: SparkSession, dir: String, p: Params): Unit = {
+    val path = new org.apache.hadoop.fs.Path(paramsPath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.write(
+      s"""{"dim":${p.dim},"nlist":${p.nlist},"seed":${p.seed},"iters":${p.iters}}"""
+        .getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readParams(spark: SparkSession, dir: String): Params = {
+    val path = new org.apache.hadoop.fs.Path(paramsPath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    def field(n: String): Long =
+      s""""$n":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    Params(field("dim").toInt, field("nlist").toInt, field("seed"),
+      field("iters").toInt)
+  }
+
+  /** (list asc) -> centroid + widest-member-angle cosine, from the
+    * persisted sidecar.
+    */
+  def readLists(spark: SparkSession, dir: String): Array[ListInfo] =
+    spark.read.parquet(centroidsPath(dir))
+      .orderBy("list")
+      .collect()
+      .map(r => ListInfo(r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+
+  private[graft] def cosineTo(v: IndexedSeq[Float], c: Array[Float]): Double = {
+    var dot = 0.0; var nv = 0.0; var nc = 0.0
+    val n = math.min(v.length, c.length)
+    var i = 0
+    while (i < n) {
+      val x = v(i).toDouble; val y = c(i).toDouble
+      dot += x * y; nv += x * x; nc += y * y
+      i += 1
+    }
+    if (nv == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(nv) * math.sqrt(nc))
+  }
+
+  /** Nearest list by cosine; ties break to the lowest list id. */
+  private[ops] def nearestList(v: IndexedSeq[Float],
+      cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var l = 0
+    while (l < cents.length) {
+      val c = cosineTo(v, cents(l))
+      if (c > bestCos) { bestCos = c; best = l }
+      l += 1
+    }
+    best
+  }
+
+  /** Upper bound on cos(q, x) for any x whose angle to the list centroid is
+    * at most theta_max (given as `cm = cos(theta_max)`), when the query's
+    * cosine to that centroid is `cq`: by the spherical triangle inequality
+    * `theta(q,x) >= max(0, theta_q - theta_max)`, so the bound is
+    * `cos(max(0, theta_q - theta_max))`. When `theta_q <= theta_max`
+    * (i.e. `cq >= cm` — cos is decreasing on [0, pi]) a member may coincide
+    * with the query and the bound is 1; otherwise `cos(theta_q - theta_max)`
+    * expands to `cq*cm + sin(theta_q)*sin(theta_max)` with both sines the
+    * non-negative roots. Pure double arithmetic (no acos), so the result is
+    * within ~1 ulp of the real bound.
+    */
+  private[graft] def listBound(cq: Double, cm: Double): Double = {
+    val a = math.max(-1.0, math.min(1.0, cq))
+    val b = math.max(-1.0, math.min(1.0, cm))
+    if (a >= b) 1.0
+    else a * b + math.sqrt(math.max(0.0, (1.0 - a * a) * (1.0 - b * b)))
+  }
+
+  /** Deterministic k-means over (any idCol, vecCol ARRAY<FLOAT>). Returns
+    * the `nlist` centroids, list id = array index. Lists that lose every
+    * member in a round keep their previous centroid (no respawn — stable
+    * ids are what the persisted layout needs).
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nlist: Int, seed: Long = 42L, iters: Int = 5,
+      trainSampleMod: Int = 1): Array[Array[Float]] = {
+    require(nlist >= 1 && iters >= 0 && trainSampleMod >= 1)
+    val base0 = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .where(size(col("vec")) === dim)
+    val base = if (trainSampleMod == 1) base0
+      else base0.where(pmod(xxhash64(lit(seed), col("id")), lit(trainSampleMod)) === 0)
+    var cents = base.orderBy(xxhash64(lit(seed + 1), col("id")), col("id"))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(cents.nonEmpty, "IVF training set is empty")
+    var it = 0
+    while (it < iters) {
+      val cs = cents // stable closure capture for this round
+      val assign = udf { (v: Seq[Float]) => nearestList(v.toIndexedSeq, cs) }
+      val means = base
+        .select(assign(col("vec")).as("list"), posexplode(col("vec")).as(Seq("i", "v")))
+        .groupBy(col("list"), col("i"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Build the index under `dir` from (idCol LONG, vecCol ARRAY<FLOAT>). */
+  def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
+      dim: Int, nlist: Int = 16, seed: Long = 42L, iters: Int = 5,
+      splitsPerList: Int = 4, trainSampleMod: Int = 1): Unit = {
+    require(splitsPerList >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = train(df, idCol, vecCol, dim, nlist, seed, iters, trainSampleMod)
+    // assignment UDF also emits the member<->centroid cosine so the
+    // per-list widest angle rides the same pass (one corpus scan total)
+    val assign = udf { (v: Seq[Float]) =>
+      if (v == null) (0, 0.0)
+      else {
+        val iv = v.toIndexedSeq
+        val l = nearestList(iv, cents)
+        (l, cosineTo(iv, cents(l)))
+      }
+    }
+    val assigned = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"), assign(col(vecCol)).as("a"))
+      .select(col("id"), col("vec"), col("a._1").as("list"), col("a._2").as("ccos"))
+    assigned
+      // co-locate each list before the partitioned write (else every input
+      // split writes a file into every list dir); the intra-list split key
+      // caps the other extreme — a hot list would funnel into one writer
+      .repartition(col("list"), pmod(hash(col("id")), lit(splitsPerList)))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(dataPath(dir))
+    val minCos = spark.read.parquet(dataPath(dir))
+      .groupBy(col("list")).agg(min(col("ccos")).as("min_cos"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    cents.zipWithIndex
+      .map { case (c, l) => (l, c.toSeq, minCos.getOrElse(l, 0.0)) }.toSeq
+      .toDF("list", "centroid", "min_cos")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(dir))
+    writeParams(spark, dir, Params(dim, nlist, seed, iters))
+  }
+
+  /** The `nprobe` list ids nearest to `queryVec` (cosine desc, list asc). */
+  private[ops] def probeLists(queryVec: Array[Float],
+      lists: Array[ListInfo], nprobe: Int): Seq[Int] = {
+    val qv = queryVec.toIndexedSeq
+    lists.indices
+      .sortBy(l => (-cosineTo(qv, lists(l).centroid), l))
+      .take(math.min(nprobe, lists.length))
+      .map(lists(_).list)
+  }
+
+  /** Pruned scan of an explicit list set (partition pruning on `list`). */
+  def candidatesFor(spark: SparkSession, dir: String,
+      lists: Seq[Int]): DataFrame =
+    spark.read.parquet(dataPath(dir))
+      .where(col("list").isin(lists: _*))
+      .select(col("id"), col("vec"))
+
+  /** The fixed-`nprobe` candidate scan for `queryVec`: rows of the `nprobe`
+    * closest list partitions only. Exposed separately so tests can assert
+    * the partition pruning on the plan.
+    */
+  def candidates(spark: SparkSession, dir: String, queryVec: Array[Float],
+      nprobe: Int = 4): DataFrame = {
+    val lists = readLists(spark, dir)
+    candidatesFor(spark, dir, probeLists(queryVec, lists, nprobe))
+  }
+
+  /** Classic approximate IVF top-k: exact cosine over the `nprobe` probed
+    * lists. Recall depends on cluster alignment; use [[topK]] for the
+    * certified-exact search.
+    */
+  def topKApprox(spark: SparkSession, dir: String, queryVec: Array[Float],
+      k: Int, excludeId: Option[Long] = None, nprobe: Int = 4): DataFrame =
+    rank(candidates(spark, dir, queryVec, nprobe), queryVec, k, excludeId)
+
+  private def rank(cand: DataFrame, queryVec: Array[Float], k: Int,
+      excludeId: Option[Long]): DataFrame = {
+    val base = excludeId.foldLeft(cand)((d, e) => d.where(col("id") =!= e))
+    base.select(col("id"), cosine_sim(col("vec"), typedLit(queryVec.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** EXACT cosine top-k with triangle-inequality pruning (object scaladoc).
+    *
+    * Round 1 probes the `nprobe0` closest lists (one partition-pruned
+    * top-k job, k rows to the driver); round 2 scans every remaining list
+    * whose [[listBound]] reaches the running k-th cosine minus a 1e-12
+    * double-rounding slack — strictly fewer than k hits can only RAISE the
+    * k-th, so after round 2 no unscanned list can qualify and the certified
+    * set is closed. The returned frame re-ranks the certified set in one
+    * partition-pruned TakeOrdered job (bounded driver fan-in: k rows per
+    * round + nlist sidecar rows).
+    */
+  def topK(spark: SparkSession, dir: String, queryVec: Array[Float], k: Int,
+      excludeId: Option[Long] = None, nprobe0: Int = 4): DataFrame = {
+    val lists = readLists(spark, dir)
+    val qv = queryVec.toIndexedSeq
+    val cq = lists.map(li => cosineTo(qv, li.centroid))
+    val first = probeLists(queryVec, lists, nprobe0).toSet
+    val kth = {
+      val rows = rank(candidatesFor(spark, dir, first.toSeq), queryVec, k,
+        excludeId).select("cos").collect()
+      // the k-th best of the probed set is its minimum (order-insensitive)
+      if (rows.length < k) Double.NegativeInfinity
+      else rows.map(_.getDouble(0)).min
+    }
+    val rest = lists.indices
+      .filter(l => !first.contains(lists(l).list))
+      .filter(l => listBound(cq(l), lists(l).minCos) >= kth - 1e-12)
+      .map(lists(_).list)
+    rank(candidatesFor(spark, dir, (first ++ rest).toSeq), queryVec, k, excludeId)
+  }
+}

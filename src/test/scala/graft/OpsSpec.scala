@@ -266,4 +266,97 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(got == want)
   }
+
+  test("persisted IVF index: certified topK == brute force on sf0.001; rebuild deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val dir = scratch("ivfidx")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, q.length)
+    val got = graft.ops.IvfIndex.topK(spark, dir, q, 10, excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+        excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    // deterministic retrain: a second build derives bit-identical sidecars
+    val dir2 = scratch("ivfidx2")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir2, q.length)
+    assert(graft.ops.IvfIndex.readLists(spark, dir)
+        .map(li => (li.list, li.centroid.toSeq, li.minCos)).toSeq ==
+      graft.ops.IvfIndex.readLists(spark, dir2)
+        .map(li => (li.list, li.centroid.toSeq, li.minCos)).toSeq)
+    // params round-trip
+    val p = graft.ops.IvfIndex.readParams(spark, dir)
+    assert(p.dim == q.length && p.nlist == 16 && p.seed == 42L)
+  }
+
+  test("IVF trained on a hash sample stays exact (certification is unconditional)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val dir = scratch("ivfidx-sample")
+    // train on ~1/2 of the corpus (assignment still sees every row)
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, q.length,
+      trainSampleMod = 2)
+    val got = graft.ops.IvfIndex.topK(spark, dir, q, 10, excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+        excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("IVF listBound is a sound, useful cosine upper bound") {
+    import graft.ops.IvfIndex.listBound
+    // theta_q <= theta_max: a member may coincide with the query -> 1.0
+    assert(listBound(0.9, 0.5) == 1.0)
+    assert(listBound(0.0, -0.5) == 1.0)
+    // theta_q > theta_max: cos(theta_q - theta_max), checked against the
+    // acos/cos reference form
+    for ((cq, cm) <- Seq((0.2, 0.9), (-0.4, 0.5), (0.0, 0.99), (-0.9, -0.1))) {
+      val ref = math.cos(math.acos(cq) - math.acos(cm))
+      assert(math.abs(listBound(cq, cm) - ref) < 1e-9, s"($cq, $cm)")
+    }
+    // soundness on a brute sphere sample: for any x with angle(x, c) <=
+    // theta_max, cos(q, x) <= bound(cos(q, c), cos(theta_max)); the
+    // in-plane same-side placement maximizes cos(q, x) at cos(|tq - tx|)
+    val grid = (0 to 10).map(_ * 0.31)
+    for (tq <- grid; tm <- grid.filter(_ > 0); tx <- grid if tx <= tm) {
+      val bound = listBound(math.cos(tq), math.cos(tm))
+      val worstCos = math.cos(math.abs(tq - tx))
+      assert(worstCos <= bound + 1e-12, s"tq=$tq tm=$tm tx=$tx")
+    }
+  }
+
+  test("IVF certified search prunes lists on a tightly clustered corpus") {
+    // 8 tight clusters on distinct axes: certification should close after
+    // probing far fewer than all lists
+    val rows = (0 until 400).map { i =>
+      val c = i % 8
+      val v = Array.fill(16)(0.001f * ((graft.util.Hashing.mix(9L, i * 31)
+        % 100 + 100) % 100))
+      v(c) = 10f + (i % 7) * 0.01f
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = scratch("ivfidx-tight")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, 16, nlist = 8)
+    val q = rows(3)._2.toArray
+    val got = graft.ops.IvfIndex.topK(spark, dir, q, 5, excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 5,
+        excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    // the pruning itself: with k-th cos ~1 inside the query's own tight
+    // cluster, every other list's bound falls below it
+    val lists = graft.ops.IvfIndex.readLists(spark, dir)
+    val qv = q.toIndexedSeq
+    val kth = want.last._2
+    val surviving = lists.count(li => graft.ops.IvfIndex.listBound(
+      graft.ops.IvfIndex.cosineTo(qv, li.centroid), li.minCos) >= kth - 1e-12)
+    assert(surviving < lists.length,
+      s"expected pruning on a tight corpus, but all ${lists.length} lists survive")
+  }
 }

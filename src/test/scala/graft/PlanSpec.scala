@@ -86,6 +86,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: []"), plan)
   }
 
+  test("IVF index query prunes the scan by list partition filters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val ivfDir = scratch("planspec-ivf")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", ivfDir, q.length)
+    val plan = graft.ops.IvfIndex.candidates(spark, ivfDir, q)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("list"), plan)
+    // the prune is purely partition-level: no data-column predicate needed
+    assert(plan.contains("PushedFilters: []"), plan)
+  }
+
   test("doc resolution pushes the id set into the docmeta scan (small results)") {
     val res = s.lookup("w3").limit(5)
     val plan = s.resolve(res).queryExecution.executedPlan.toString
