@@ -181,16 +181,12 @@ object IvfIndex {
     cents
   }
 
-  /** Build the index under `dir` from (idCol LONG, vecCol ARRAY<FLOAT>). */
-  def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
-      dim: Int, nlist: Int = 16, seed: Long = 42L, iters: Int = 5,
-      splitsPerList: Int = 4, trainSampleMod: Int = 1): Unit = {
-    require(splitsPerList >= 1)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cents = train(df, idCol, vecCol, dim, nlist, seed, iters, trainSampleMod)
-    // assignment UDF also emits the member<->centroid cosine so the
-    // per-list widest angle rides the same pass (one corpus scan total)
+  /** (id, vec, list, ccos) with list = nearest centroid and ccos the
+    * member<->centroid cosine — the assignment UDF emits both so the
+    * per-list widest angle rides the same pass (one scan total).
+    */
+  private def assignFrame(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]]): DataFrame = {
     val assign = udf { (v: Seq[Float]) =>
       if (v == null) (0, 0.0)
       else {
@@ -199,26 +195,74 @@ object IvfIndex {
         (l, cosineTo(iv, cents(l)))
       }
     }
-    val assigned = df.select(col(idCol).cast("long").as("id"),
+    df.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("vec"), assign(col(vecCol)).as("a"))
       .select(col("id"), col("vec"), col("a._1").as("list"), col("a._2").as("ccos"))
+  }
+
+  // co-locate each list before the partitioned write (else every input
+  // split writes a file into every list dir); the intra-list split key
+  // caps the other extreme — a hot list would funnel into one writer
+  private def writeVectors(assigned: DataFrame, dir: String,
+      splitsPerList: Int, mode: String): Unit =
     assigned
-      // co-locate each list before the partitioned write (else every input
-      // split writes a file into every list dir); the intra-list split key
-      // caps the other extreme — a hot list would funnel into one writer
       .repartition(col("list"), pmod(hash(col("id")), lit(splitsPerList)))
-      .write.mode("overwrite").partitionBy("list")
+      .write.mode(mode).partitionBy("list")
       .parquet(dataPath(dir))
+
+  private def writeSidecar(spark: SparkSession,
+      rows: Seq[(Int, Seq[Float], Double)], dir: String): Unit = {
+    import spark.implicits._
+    rows.toDF("list", "centroid", "min_cos")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(dir))
+  }
+
+  /** Build the index under `dir` from (idCol LONG, vecCol ARRAY<FLOAT>). */
+  def build(df: DataFrame, idCol: String, vecCol: String, dir: String,
+      dim: Int, nlist: Int = 16, seed: Long = 42L, iters: Int = 5,
+      splitsPerList: Int = 4, trainSampleMod: Int = 1): Unit = {
+    require(splitsPerList >= 1)
+    val spark = df.sparkSession
+    val cents = train(df, idCol, vecCol, dim, nlist, seed, iters, trainSampleMod)
+    writeVectors(assignFrame(df, idCol, vecCol, cents), dir, splitsPerList,
+      "overwrite")
     val minCos = spark.read.parquet(dataPath(dir))
       .groupBy(col("list")).agg(min(col("ccos")).as("min_cos"))
       .collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    cents.zipWithIndex
-      .map { case (c, l) => (l, c.toSeq, minCos.getOrElse(l, 0.0)) }.toSeq
-      .toDF("list", "centroid", "min_cos")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(centroidsPath(dir))
+    writeSidecar(spark,
+      cents.zipWithIndex
+        .map { case (c, l) => (l, c.toSeq, minCos.getOrElse(l, 0.0)) }.toSeq,
+      dir)
     writeParams(spark, dir, Params(dim, nlist, seed, iters))
+  }
+
+  /** Incrementally add vectors to an existing index: assign with the
+    * PERSISTED quantizer (centroids never move — list ids stay stable, no
+    * corpus rewrite) and append to the list partitions. The sidecar's
+    * per-list widest angle folds in the batch minima BEFORE the data lands:
+    * a crash in between leaves bounds that are merely looser than
+    * necessary, never unsound (certified [[topK]] stays exact). The batch
+    * is scanned twice (min-agg + write) — batch-sized work, the corpus is
+    * never touched. Single-writer discipline, like [[AnnIndex]]: no
+    * concurrent append/build against one `dir`.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, dir: String,
+      splitsPerList: Int = 4): Unit = {
+    require(splitsPerList >= 1)
+    val spark = df.sparkSession
+    val lists = readLists(spark, dir)
+    val assigned = assignFrame(df, idCol, vecCol, lists.map(_.centroid))
+    val batchMin = assigned.groupBy(col("list"))
+      .agg(min(col("ccos")).as("min_cos"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    writeSidecar(spark,
+      lists.map(li => (li.list, li.centroid.toSeq,
+        math.min(li.minCos, batchMin.getOrElse(li.list, li.minCos)))).toSeq,
+      dir)
+    writeVectors(assigned, dir, splitsPerList, "append")
   }
 
   /** The `nprobe` list ids nearest to `queryVec` (cosine desc, list asc). */

@@ -329,6 +329,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF append: quantizer stays fixed, certified topK stays exact over the union") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val dir = scratch("ivfidx-append")
+    graft.ops.IvfIndex.build(emb.where(col("vec_id") < 250), "vec_id",
+      "embedding", dir, q.length)
+    val before = graft.ops.IvfIndex.readLists(spark, dir)
+    graft.ops.IvfIndex.append(emb.where(col("vec_id") >= 250), "vec_id",
+      "embedding", dir)
+    val after = graft.ops.IvfIndex.readLists(spark, dir)
+    // centroids are immutable across append; widest angles only loosen
+    assert(before.map(_.centroid.toSeq).toSeq == after.map(_.centroid.toSeq).toSeq)
+    assert(before.zip(after).forall { case (b, a) => a.minCos <= b.minCos })
+    val got = graft.ops.IvfIndex.topK(spark, dir, q, 10, excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+        excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("IVF certified search prunes lists on a tightly clustered corpus") {
     // 8 tight clusters on distinct axes: certification should close after
     // probing far fewer than all lists
