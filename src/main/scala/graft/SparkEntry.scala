@@ -208,6 +208,16 @@ object SparkEntry {
     "q13_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", maxDist = 3)),
+    // near-dup pairs -> transitive duplicate components -> canonical keep
+    // id per doc. Pairs come from the LSH->verify pipeline (the exact
+    // Jaccard relation), so the oracle recomputes the same edges in SQL and
+    // runs a recursive component search over them — gating candidate
+    // generation, verification, AND the distributed clustering end-to-end.
+    "q26_dedup_cluster" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.9)
+      Dedup.clusters(docs.select("doc_id"), "doc_id", pairs)
+    }),
     // ---- embeddings ------------------------------------------------------
     "q14_embed_neardup" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -302,22 +312,30 @@ object SparkEntry {
         .select(col("doc_id"), col("key"), col("score"))
     }))
 
-  /** Exact all-pairs 3-gram Jaccard at threshold 0.9 — the oracle for BOTH
-    * the exact self-join operator (q11) and the LSH-then-verify pipeline
-    * (q12), which must produce the identical relation.
+  /** CTE chain ending in the exact all-pairs 3-gram Jaccard relation at
+    * threshold 0.9 as `jp(a, b, jac)` — the shared base of the q11/q12
+    * oracles and (as the edge relation under a recursive component search)
+    * the q26 clustering oracle.
     */
-  private val jaccardOracleSql: String =
-    "WITH t0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), " +
+  private val jaccardPairsCtes: String =
+    "t0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), " +
       "'[^a-z0-9]+'), x -> x <> '') AS arr FROM documents), " +
       "ti AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM t0), " +
       "sh AS (SELECT DISTINCT doc_id, " +
       "arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s FROM ti), " +
       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
       "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x " +
-      "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
-      "SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jac FROM pairs " +
+      "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+      "jp AS (SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jac FROM pairs " +
       "JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b " +
-      "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9"
+      "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9)"
+
+  /** Exact all-pairs 3-gram Jaccard at threshold 0.9 — the oracle for BOTH
+    * the exact self-join operator (q11) and the LSH-then-verify pipeline
+    * (q12), which must produce the identical relation.
+    */
+  private val jaccardOracleSql: String =
+    s"WITH $jaccardPairsCtes SELECT a, b, jac FROM jp"
 
   /** BM25 top-10 for ('spark','vector','dup') — oracle for q06 and the base
     * relation q24 resolves through the forward map.
@@ -385,6 +403,15 @@ object SparkEntry {
     // the LSH pipeline's verified output must equal the exact all-pairs
     // Jaccard relation — same oracle as q11 by construction
     "q12_dedup_minhash" -> jaccardOracleSql,
+    // connected components over the exact-Jaccard edge relation: min
+    // reachable doc_id per doc via a recursive reachability closure
+    // (components are near-dup clusters, so the closure stays tiny)
+    "q26_dedup_cluster" ->
+      (s"WITH RECURSIVE $jaccardPairsCtes, " +
+        "e AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp), " +
+        "reach AS (SELECT doc_id AS id, doc_id AS r FROM documents " +
+        "UNION SELECT e.u AS id, reach.r AS r FROM e JOIN reach ON reach.id = e.v) " +
+        "SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id"),
     // recompute the md5-based tf-weighted simhash sign vectors in SQL and
     // take hamming distance = count of differing sign bits per pair (the
     // engine packs the same signs into a 64-bit word and popcounts the xor)

@@ -291,6 +291,93 @@ object Dedup {
       .drop("__bn")
   }
 
+  /** Connected-component clustering of a near-duplicate pair relation:
+    * every node is mapped to the SMALLEST id in its component — the
+    * canonical representative a dedup pipeline keeps — with nodes untouched
+    * by any pair mapping to themselves. This is the step that turns a pair
+    * list (from [[jaccardPairs]] / [[minhashDedup]] / [[simhashPairs]]) into
+    * an actionable keep/drop decision: near-duplication is not transitive,
+    * so "drop b of every pair (a,b)" over-deletes chains (a~b, b~c drops
+    * both b and c even when a!~c); the component map keeps exactly one doc
+    * per transitive group.
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping
+    * (the hash-to-min family — Rastogi et al., "Finding Connected
+    * Components in MapReduce and Beyond", public literature). Each round:
+    *
+    *  1. neighbor-min: `rep(u) <- min(rep(u), min over edges (u,v) of
+    *     rep(v))` — a `groupBy(u).min`, map-side combinable, so a giant
+    *     component's fan-in is pre-reduced per partition and never funnels
+    *     one task;
+    *  2. pointer jump: `rep(u) <- rep(rep(u))` — halves pointer-chain
+    *     depth, giving O(log diameter) rounds overall instead of
+    *     O(diameter) for plain propagation.
+    *
+    * Reps only ever decrease, so the per-round fixpoint check (any row
+    * changed?) is a monotone convergence test, and every intermediate map
+    * is a valid (if unfinished) component assignment. Per-round frames are
+    * persisted and the previous round released; every `checkpointEvery`
+    * rounds the label table is rewritten through the shared staging root
+    * ([[graft.util.Staging]]) to cut lineage, so plan size and recovery
+    * cost stay bounded no matter how many rounds a pathological graph
+    * needs. Fully deterministic (min ids; no RNG).
+    */
+  def clusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a", bCol: String = "b", maxRounds: Int = 50,
+      checkpointEvery: Int = 6, stagingDir: Option[String] = None): DataFrame = {
+    require(maxRounds >= 1 && checkpointEvery >= 1)
+    val spark = nodes.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val p = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val edges = p.select(col("a").as("u"), col("b").as("v"))
+      .union(p.select(col("b").as("u"), col("a").as("v")))
+      .persist(lvl)
+    // label every node mentioned anywhere: the given node set plus edge
+    // endpoints (callers may cluster a pair list whose endpoints are not
+    // all in `nodes`; reps must still resolve through them)
+    var labels = ids.union(edges.select(col("u").as("id"))).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .persist(lvl)
+    var round = 0
+    var converged = edges.isEmpty // no pairs -> identity map, done
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("rep")), "v")
+        .groupBy(col("u")).agg(min(col("rep")).as("nm"))
+      val stepped = labels
+        .join(nbrMin.select(col("u").as("id"), col("nm")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nm"), col("rep"))).as("rep"))
+        .persist(lvl) // feeds BOTH sides of the jump join below
+      // pointer jump: every rep value is itself a labeled id (reps are
+      // minima over ids), so the inner join is total
+      val jumped0 = stepped
+        .join(stepped.select(col("id").as("rep"), col("rep").as("jrep")),
+          Seq("rep"))
+        .select(col("id"), col("jrep").as("rep"))
+      val jumped =
+        (if ((round + 1) % checkpointEvery == 0) {
+          val dir = graft.util.Staging.newStagedDir(spark, "dedup-cc", stagingDir)
+          jumped0.write.mode("overwrite").parquet(dir)
+          spark.read.parquet(dir)
+        } else jumped0).persist(lvl)
+      converged = jumped.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.rep") =!= col("o.rep"))
+        .isEmpty
+      labels.unpersist()
+      stepped.unpersist()
+      labels = jumped
+      round += 1
+    }
+    require(converged,
+      s"clusters() did not converge in $maxRounds rounds (graph needs more; raise maxRounds)")
+    val out = ids.join(labels, "id").select(col("id").as(idCol), col("rep"))
+    materializeAndRelease(out, Seq(edges, labels), stagingDir)
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
     * 16-bit bands (a pair within distance d <= 3 must agree on at least one
     * of 4 bands — pigeonhole). Returns (a, b, hamming).

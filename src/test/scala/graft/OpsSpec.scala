@@ -91,6 +91,38 @@ class OpsSpec extends SparkSpec {
     assert(coldSalts == Seq(0), "cold bucket must stay a single group")
   }
 
+  test("clusters: transitive components map to min id; singletons to themselves") {
+    val nodes = (0L to 9L).toSeq.toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L)).toDF("a", "b")
+    val got = Dedup.clusters(nodes, "id", pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("clusters: a 65-node path converges in O(log n) rounds (pointer jumping)") {
+    // plain min-propagation needs 64 rounds here; the jump halves chain
+    // depth each round, so 14 rounds (incl. the fixpoint-verify round) is
+    // only reachable with the jump working. checkpointEvery=3 also forces
+    // the staged lineage-cut path to run.
+    val n = 65
+    val nodes = (0L until n).toSeq.toDF("id")
+    val pairs = (1L until n).map(i => (i - 1, i)).toDF("a", "b")
+    val got = Dedup.clusters(nodes, "id", pairs, maxRounds = 14,
+        checkpointEvery = 3).as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
+  test("clusters over minhashDedup pairs: planted duplicates share their source's rep") {
+    val pairs = Dedup.minhashDedup(planted, "doc_id", "text", threshold = 0.8)
+    val got = Dedup.clusters(planted.select("doc_id"), "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(200L) == 5L && got(5L) == 5L)
+    assert(got(201L) == 6L)
+    assert(got(202L) == 7L)
+    assert(got(0L) == 0L) // untouched doc keeps itself
+    assert(got.size == 203)
+  }
+
   test("simhash salted plan is result-identical to the unsalted plan") {
     val skewed = planted.union(
       (300 until 330).map(i => (i.toLong, "copy pasta boilerplate text"))
