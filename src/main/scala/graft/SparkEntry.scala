@@ -275,6 +275,19 @@ object SparkEntry {
           .collect().map(r => (r.getLong(0), r.getDouble(1))), 10)
         .toDF("vec_id", "cos")
     }),
+    // batched ANN: certified-exact top-10 for a whole TABLE of query
+    // vectors in one distributed job (probe-table broadcast join + the
+    // bounded-heap topk_by aggregate) instead of a per-query driver loop —
+    // the contamination-check / incremental-dedup shape at corpus scale.
+    // Ranking is (round(cos,4) DESC, id ASC) end-to-end, the oracle's
+    // deterministic total order, so no widening shim is needed.
+    "q27_ann_batch" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val qs = emb.where(pmod(col("vec_id"), lit(37)) === 0)
+      graft.ops.IvfIndex.topKBatch(s, IndexCache.ivf(s, dir), qs,
+        "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("id").as("vec_id"), col("cos"))
+    }),
     // ---- text analysis ---------------------------------------------------
     "q17_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet"),
@@ -440,6 +453,26 @@ object SparkEntry {
     "q15_ann_topk" -> bruteAnnOracleSql,
     "q16_ann_lsh" -> bruteAnnOracleSql,
     "q25_ann_ivf" -> bruteAnnOracleSql,
+    // brute-force per-query top-10 over the batch (vec_id % 37 = 0), ranked
+    // by the shared (rounded cos DESC, id ASC) order — a hard oracle for
+    // the whole batched quantize->probe->certify->rescore path
+    "q27_ann_batch" ->
+      ("WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
+        "WHERE vec_id % 37 = 0), " +
+        "qx AS (SELECT qid, unnest(qe) AS qv, " +
+        "unnest(generate_series(1, len(qe))) AS i FROM qs), " +
+        "ex AS (SELECT vec_id, unnest(embedding) AS v, " +
+        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), " +
+        "dp AS (SELECT qx.qid, ex.vec_id, " +
+        "sum(CAST(v AS DOUBLE) * CAST(qv AS DOUBLE)) AS d " +
+        "FROM ex JOIN qx USING(i) WHERE ex.vec_id <> qx.qid GROUP BY 1, 2), " +
+        "nn AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2 " +
+        "FROM ex GROUP BY vec_id), " +
+        "sc AS (SELECT qid, dp.vec_id, " +
+        "round(d / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos " +
+        "FROM dp JOIN nn na ON na.vec_id = qid JOIN nn nb ON nb.vec_id = dp.vec_id) " +
+        "SELECT qid, vec_id, cos FROM sc " +
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10"),
     // q17-q20 oracles LEFT JOIN the token aggregates back to documents with
     // COALESCE defaults, and fingerprint over the tokenized form — so they
     // stay equivalent to the Spark side on corpora with empty / all-punct

@@ -338,4 +338,98 @@ object IvfIndex {
       .map(lists(_).list)
     rank(candidatesFor(spark, dir, (first ++ rest).toSeq), queryVec, k, excludeId)
   }
+
+  /** Certified-exact BATCHED top-k: one result set per row of `queries`
+    * ((qidCol LONG, vecCol ARRAY<FLOAT>)), returned as (qid, id, cos) with
+    * cos rounded to 4 decimals and ranked by (cos DESC, id ASC) — the
+    * deterministic total order the SQL oracles use, so rounded ties at the
+    * k-boundary resolve identically on both sides.
+    *
+    * Scale shape (the batch counterpart of [[topK]]'s driver-side loop):
+    *
+    *  - probe selection is ONE pass over the query table against the
+    *    driver-broadcast list metadata (`nlist` rows): a UDF emits, per
+    *    query, every list's [[listBound]] plus a top-`nprobe0` probe mark;
+    *  - candidate generation is a partition-pruned scan of the UNION of
+    *    probed lists, broadcast-joined to the (qid, list, qvec) probe table
+    *    on `list` — each index row is evaluated only for the queries that
+    *    probe its list (for batches beyond broadcast size the same plan
+    *    runs as a shuffle join on `list`, identical semantics);
+    *  - per-query selection runs through [[graft.functions.TopKBy]], a
+    *    bounded-heap TypedImperativeAggregate that pre-reduces map-side to
+    *    at most k rows per (partition, query) before the shuffle — no
+    *    corpus-sized window sort;
+    *  - certification mirrors [[topK]], in ROUNDED space: a list skipped in
+    *    round 1 can hold a final top-k row of query q only if
+    *    `listBound >= round1_kth_rounded(q) - 5e-5` (under HALF_UP,
+    *    `round(x) >= t` implies `x >= t - 5e-5`), so round 2 re-ranks over
+    *    exactly `probe1 ∪ {lists passing that bound}` and the set is closed
+    *    (adding rows can only RAISE a query's k-th rounded score). Queries
+    *    with fewer than k round-1 candidates get kth = -Inf, which forces
+    *    their full list sweep.
+    *
+    * The (batch x k)-sized result is materialized through the shared
+    * staging root ([[graft.util.Staging]], reclaimed on the end-of-run
+    * drain) so the probe/meta caches release immediately instead of living
+    * for the consumer's lifetime. Null/malformed query vectors are dropped.
+    */
+  def topKBatch(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int, excludeSelf: Boolean = true,
+      nprobe0: Int = 4): DataFrame = {
+    val lists = readLists(spark, dir)
+    val cents = lists.map(_.centroid)
+    val minCs = lists.map(_.minCos)
+    val listIds = lists.map(_.list)
+    val np = math.min(nprobe0, lists.length)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val meta = udf { (v: Seq[Float]) =>
+      if (v == null) Seq.empty[(Int, Double, Boolean)]
+      else {
+        val iv = v.toIndexedSeq
+        val cq = Array.tabulate(cents.length)(l => cosineTo(iv, cents(l)))
+        val p1 = cq.indices.sortBy(l => (-cq(l), l)).take(np).toSet
+        cq.indices.map(l =>
+          (listIds(l), listBound(cq(l), minCs(l)), p1.contains(l)))
+      }
+    }
+    val qmeta = queries
+      .select(col(qidCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+      .select(col("qid"), col("qvec"), explode(meta(col("qvec"))).as("m"))
+      .select(col("qid"), col("qvec"), col("m._1").as("list"),
+        col("m._2").as("bound"), col("m._3").as("p1"))
+      .persist(lvl)
+    def ranked(probes: DataFrame): DataFrame = {
+      // bounded driver fan-in: at most nlist distinct list ids
+      val ls = probes.select("list").distinct().collect().map(_.getInt(0)).toSeq
+      val cand = spark.read.parquet(dataPath(dir))
+        .where(col("list").isin(ls: _*)) // partition pruning, as candidatesFor
+        .select(col("id"), col("vec"), col("list"))
+        .join(broadcast(probes), "list")
+      val base = if (excludeSelf) cand.where(col("id") =!= col("qid")) else cand
+      base.select(col("qid"),
+          round(cosine_sim(col("vec"), col("qvec")), 4).as("cos"), col("id"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKBy.topk_by(col("cos"), col("id"), k).as("tk"))
+    }
+    val probe1 = qmeta.where(col("p1")).select("qid", "qvec", "list")
+    // batch-sized (one row per query) and referenced by BOTH the probe-set
+    // collect and the final write — persisted so round 1 runs once
+    val kth1 = ranked(probe1)
+      .select(col("qid"),
+        when(size(col("tk")) < k, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col("tk"), k).getField("score")).as("kth"))
+      .persist(lvl)
+    val probe2 = qmeta.where(!col("p1"))
+      .join(kth1, Seq("qid"))
+      .where(col("bound") >= col("kth") - lit(5e-5) - lit(1e-12))
+      .select("qid", "qvec", "list")
+    val out = ranked(probe1.union(probe2))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e.id").as("id"), col("e.score").as("cos"))
+    val tmp = graft.util.Staging.newStagedDir(spark, "ivf-batch", None)
+    out.write.mode("overwrite").parquet(tmp)
+    qmeta.unpersist()
+    kth1.unpersist()
+    spark.read.parquet(tmp)
+  }
 }

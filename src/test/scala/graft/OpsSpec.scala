@@ -413,4 +413,83 @@ class OpsSpec extends SparkSpec {
     assert(surviving < lists.length,
       s"expected pruning on a tight corpus, but all ${lists.length} lists survive")
   }
+
+  test("topk_by equals sort-based top-k under (score desc, id asc), map-side combined") {
+    import graft.functions.TopKBy.topk_by
+    // duplicate scores across groups exercise the id tie-break; 8 input
+    // partitions exercise partial-state merge
+    val rows = (0 until 2000).map { i =>
+      val s = math.abs(graft.util.Hashing.mix(3L, i) % 100).toDouble / 10.0
+      (i % 7, s, i.toLong)
+    }
+    val df = rows.toDF("g", "s", "id").repartition(8)
+    val agg = df.groupBy($"g").agg(topk_by($"s", $"id", 5).as("tk"))
+    val got = agg
+      .select($"g", posexplode($"tk").as(Seq("r", "e")))
+      .select($"g", $"r", $"e.score", $"e.id")
+      .as[(Int, Int, Double, Long)].collect()
+      .groupBy(_._1)
+      .map { case (g, rs) => g -> rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy(r => (-r._1, r._2)).take(5)
+    }
+    assert(got == want)
+    // TypedImperativeAggregate plans as ObjectHashAggregate partial+final:
+    // at most k rows per (partition, group) enter the shuffle
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("batched IVF topKBatch equals brute force under the rounded total order") {
+    val embDf = spark.read.parquet(s"$sf/embeddings.parquet")
+    val emb = embDf.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val dir = scratch("ivfidx-batch")
+    graft.ops.IvfIndex.build(embDf, "vec_id", "embedding", dir, 64)
+    val queries = embDf.where(pmod(col("vec_id"), lit(37)) === 0)
+    val got = graft.ops.IvfIndex
+      .topKBatch(spark, dir, queries, "vec_id", "embedding", 10)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(r => (r._2, r._3)).sortBy(r => (-r._2, r._1)).toSeq }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = emb.map(_._1).filter(_ % 37 == 0).map { q =>
+      val qv = emb.find(_._1 == q).get._2.toArray
+      q -> emb.filter(_._1 != q).toSeq
+        .map { case (id, v) =>
+          (id, r4(graft.ops.IvfIndex.cosineTo(v.toIndexedSeq, qv))) }
+        .sortBy(r => (-r._2, r._1)).take(10)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("batched topKBatch on a tight corpus: round 2 prunes, results stay exact") {
+    val rows = (0 until 400).map { i =>
+      val c = i % 8
+      val v = Array.fill(16)(0.001f * ((graft.util.Hashing.mix(9L, i * 31)
+        % 100 + 100) % 100))
+      v(c) = 10f + (i % 7) * 0.01f
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = scratch("ivfidx-batch-tight")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, 16, nlist = 8)
+    val queries = emb.where(col("vec_id") < 8) // one per cluster
+    val got = graft.ops.IvfIndex
+      .topKBatch(spark, dir, queries, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(r => (r._2, r._3)).sortBy(r => (-r._2, r._1)).toSeq }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0L until 8L).foreach { q =>
+      val qv = rows(q.toInt)._2.toArray
+      val want = rows.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, r4(graft.ops.IvfIndex.cosineTo(v.toIndexedSeq, qv))) }
+        .sortBy(r => (-r._2, r._1)).take(5).toSeq
+      assert(got(q) == want, s"query $q")
+    }
+  }
 }
