@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * SQL surface:
   *   - `cosine_sim(array<float>, array<float>) -> double` (codegen'd)
+  *   - `topk_by(score, id, k) -> array<struct<score,id>>` (bounded-heap
+  *     top-k aggregate; k an INT literal)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -21,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "cosine_sim expects 2 arguments")
         CosineSim(children.head, children(1))
       }))
+    e.injectFunction(TopKBy.registration)
     e.injectFunction((
       new FunctionIdentifier("graft_match"),
       new ExpressionInfo(classOf[GraftMatch].getName, "graft_match"),

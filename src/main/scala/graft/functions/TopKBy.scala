@@ -137,4 +137,26 @@ object TopKBy {
     ColumnBridge.column(TopKBy(ColumnBridge.expression(score),
       ColumnBridge.expression(id), k).toAggregateExpression())
   }
+
+  /** (identifier, info, builder) triple for SQL registration — used by
+    * [[GraftExtensions]] and directly registerable into a session's
+    * FunctionRegistry. `k` must be an INT literal (the heap is sized at
+    * plan time). The analyzer wraps the returned AggregateFunction in a
+    * Complete AggregateExpression, as for built-in aggregates.
+    */
+  val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TopKBy].getName, "topk_by"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "topk_by expects (score, id, k)")
+      children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) =>
+          TopKBy(children.head, children(1), v)
+        case other => throw new IllegalArgumentException(
+          s"topk_by k must be an INT literal, got $other")
+      }
+    })
 }

@@ -440,6 +440,18 @@ class OpsSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("topk_by SQL registration: the GraftExtensions builder triple works end-to-end") {
+    val (fid, info, builder) = graft.functions.TopKBy.registration
+    spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
+    Seq((1, 5.0, 10L), (1, 7.0, 11L), (1, 7.0, 9L), (2, 1.0, 1L))
+      .toDF("g", "s", "id").createOrReplaceTempView("tkb")
+    val got = spark.sql(
+      "SELECT g, transform(topk_by(s, id, 2), x -> x.id) AS ids FROM tkb GROUP BY g")
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got(1) == Seq(9L, 11L)) // score-7.0 tie resolves to the lower id
+    assert(got(2) == Seq(1L))
+  }
+
   test("batched IVF topKBatch equals brute force under the rounded total order") {
     val embDf = spark.read.parquet(s"$sf/embeddings.parquet")
     val emb = embDf.select($"vec_id", $"embedding")
