@@ -323,7 +323,24 @@ object SparkEntry {
       val top = bm25Rounded(s, dir, Seq("spark", "vector", "dup"), 10)
       IndexCache.searcher(s, dir).resolve(top, "doc_id")
         .select(col("doc_id"), col("key"), col("score"))
-    }))
+    }),
+    // ---- corpus curation (end-to-end pipeline shapes) --------------------
+    // the kept corpus after minhash-dedup -> components -> keep-min:
+    // oracle = the q26 recursive closure restricted to its fixed points
+    "q28_dedup_corpus" -> ((s, dir) =>
+      graft.ops.Corpus.deduplicate(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .select(col("doc_id"))),
+    // deterministic md5-threshold downsampling to <= ~100 docs per lang;
+    // the oracle recomputes the identical hash/count inequality in DuckDB
+    "q29_sample_balance" -> ((s, dir) =>
+      graft.ops.Corpus.sampleBalanced(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang", 100L)),
+    // token-budget sharding (global prefix sum over the id order) at
+    // 20k tokens per shard; oracle = a window cumsum over the toksCte counts
+    "q30_pack_shards" -> ((s, dir) =>
+      graft.ops.Corpus.packShards(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 20000L)))
 
   /** CTE chain ending in the exact all-pairs 3-gram Jaccard relation at
     * threshold 0.9 as `jp(a, b, jac)` — the shared base of the q11/q12
@@ -544,5 +561,33 @@ object SparkEntry {
         "FROM sess GROUP BY user_id, sid"),
     "q24_resolve" ->
       (s"WITH base AS ($bm25OracleSql) " +
-        "SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, score FROM base"))
+        "SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, score FROM base"),
+    // kept corpus = fixed points of the component closure (docs that are
+    // their own cluster representative). Same CTEs as the q26 oracle.
+    "q28_dedup_corpus" ->
+      (s"WITH RECURSIVE $jaccardPairsCtes, " +
+        "e AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp), " +
+        "reach AS (SELECT doc_id AS id, doc_id AS r FROM documents " +
+        "UNION SELECT e.u AS id, reach.r AS r FROM e JOIN reach ON reach.id = e.v) " +
+        "SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id"),
+    // identical hash + inequality as the engine: first 6 md5 hex digits of
+    // 'id:stratum' as a uniform draw on [0, 2^24); HUGEINT widening mirrors
+    // the engine's DECIMAL(38,0) (2^24 * stratum_count overflows BIGINT at
+    // web scale)
+    "q29_sample_balance" ->
+      ("WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang), " +
+        "h AS (SELECT doc_id, lang, " +
+        "('0x' || substr(md5(doc_id::VARCHAR || ':' || lang), 1, 6))::BIGINT AS hv " +
+        "FROM documents) " +
+        "SELECT h.doc_id, h.lang FROM h JOIN cnt USING (lang) " +
+        "WHERE hv::HUGEINT * c::HUGEINT < 100 * 16777216::HUGEINT"),
+    // shard = floor(tokens-before / 20000) over the doc_id order; LEFT JOIN
+    // + COALESCE keeps zero-token docs, as in the q17-q20 oracles
+    "q30_pack_shards" ->
+      (s"$toksCte, agg AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), " +
+        "tk AS (SELECT d.doc_id, COALESCE(agg.n, 0) AS tok " +
+        "FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id) " +
+        "SELECT doc_id, CAST(COALESCE(sum(tok) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 20000 " +
+        "AS BIGINT) AS shard FROM tk"))
 }

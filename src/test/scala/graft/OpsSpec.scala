@@ -504,4 +504,60 @@ class OpsSpec extends SparkSpec {
       assert(got(q) == want, s"query $q")
     }
   }
+
+  // ---- corpus curation --------------------------------------------------
+
+  test("deduplicate keeps cluster minima and drops the rest") {
+    // planted: 200/201 are byte-identical to 5/6 (jaccard 1.0); 202 is a
+    // FIRST-word edit of 7 — the first token sits in exactly one 3-gram
+    // shingle, so jaccard = 27/29 ~ 0.93 >= 0.9 and 202 is a duplicate too.
+    // All three clusters keep their minimum id.
+    val kept = graft.ops.Corpus
+      .deduplicate(planted, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(200L, 201L, 202L).forall(!kept.contains(_)))
+    assert(Set(5L, 6L, 7L).forall(kept.contains))
+    assert(kept.size == 200) // 203 docs - 3 dropped duplicates
+  }
+
+  test("sampleBalanced matches a driver-side md5 threshold exactly") {
+    val df = ((0 until 1000).map(i => (i.toLong, "big")) ++
+      (1000 until 1050).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    def hv(id: Long, s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(3).map(b => f"$b%02x").mkString, 16)
+    }
+    val expected = ((0 until 1000).filter(i =>
+        BigInt(hv(i, "big")) * 1000 < BigInt(100L) * 16777216L).map(_.toLong) ++
+      (1000L until 1050L)).toSet // small stratum (50 <= cap) all kept
+    val got = graft.ops.Corpus.sampleBalanced(df, "doc_id", "lang", 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    // sanity on the shape: the big stratum landed near its expected cap
+    val big = got.count(_ < 1000)
+    assert(big >= 60 && big <= 140, s"big stratum kept $big of expected ~100")
+  }
+
+  test("packShards equals the global cumsum and is partition-count invariant") {
+    val docs = (0 until 300).map { i =>
+      val n = (graft.util.Hashing.mix(11L, i) % 40 + 40) % 40
+      (i.toLong, if (i == 137) null else Seq.fill(n.toInt + 1)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    val expected = {
+      var acc = 0L
+      docs.as[(Long, String)].collect().sortBy(_._1).map { case (id, t) =>
+        val tok = if (t == null) 0L
+          else graft.text.Tokenize.tokenizeScala(t).length.toLong
+        val s = acc / 500L; acc += tok; (id, s)
+      }.toMap
+    }
+    for (p <- Seq(1, 4, 32)) {
+      val got = graft.ops.Corpus
+        .packShards(docs, "doc_id", "text", budget = 500L, partitions = p)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"partitions=$p")
+    }
+  }
 }
