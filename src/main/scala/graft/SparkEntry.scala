@@ -340,7 +340,13 @@ object SparkEntry {
     // 20k tokens per shard; oracle = a window cumsum over the toksCte counts
     "q30_pack_shards" -> ((s, dir) =>
       graft.ops.Corpus.packShards(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 20000L)))
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 20000L)),
+    // streaming exact dedup (dropDuplicatesWithinWatermark -> append log);
+    // the 45-day horizon exceeds the corpus' 30-day event span, so the
+    // result is exactly the batch DISTINCT
+    "q31_stream_dedup" -> ((s, dir) =>
+      StreamingOps.distinctKeysIncremental(s, s"$dir/events.parquet",
+        Seq("user_id", "event_type"), withinWatermark = "45 days")))
 
   /** CTE chain ending in the exact all-pairs 3-gram Jaccard relation at
     * threshold 0.9 as `jp(a, b, jac)` — the shared base of the q11/q12
@@ -589,5 +595,10 @@ object SparkEntry {
         "FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id) " +
         "SELECT doc_id, CAST(COALESCE(sum(tok) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 20000 " +
-        "AS BIGINT) AS shard FROM tk"))
+        "AS BIGINT) AS shard FROM tk"),
+    // the watermark horizon outlives the bounded input, so streaming dedup
+    // must equal the batch distinct — and emit each key exactly once (a
+    // re-emission would fail the row-count/hash compare)
+    "q31_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events")
 }

@@ -160,6 +160,60 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Streaming exact deduplication over a bounded events path — the
+    * PRODUCTION shape for "emit each key once" ingestion feeds (e.g. url-
+    * or content-hash dedup on a crawl stream): event-time watermark +
+    * `dropDuplicatesWithinWatermark` (state holds one entry per key and
+    * evicts it once the watermark passes `withinWatermark` beyond its
+    * event time — bounded state, unlike unbounded `dropDuplicates`), sunk
+    * through `foreachBatch` as an append-only parquet log written straight
+    * from the executors. The dedup operator emits a key's FIRST arrival
+    * immediately (the watermark governs state eviction, not emission), so
+    * the log holds each key at most once per watermark horizon; the
+    * returned frame reads the log RAW — a re-emission bug would surface as
+    * duplicate rows, not be masked by a compaction. (An at-least-once
+    * consumer of the log would dedupe by (batch_id, key); bounded runs
+    * retry nothing.) Only the key columns are returned: which physical row
+    * arrived first within a micro-batch is partition-order-dependent, the
+    * key SET is deterministic.
+    *
+    * With `withinWatermark` longer than the bounded input's event-time
+    * span, state never evicts and the result is exactly
+    * `SELECT DISTINCT keyCols` — the q31 oracle.
+    */
+  def distinctKeysIncremental(spark: SparkSession, eventsPath: String,
+      keyCols: Seq[String], withinWatermark: String = "24 hours",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val schema = spark.read.parquet(eventsPath).schema
+    val logDir = graft.util.Staging.newStagedDir(spark, "stream-dedup")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(asStreamDir(spark, eventsPath))
+    val dd = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", withinWatermark)
+      .select(keyCols.map(col) :+ col("ts"): _*)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .select(keyCols.map(col): _*)
+    // seed like the windowed changelog: an all-empty source must read back
+    // as an empty result with the right schema
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        dd.schema.add("batch_id", org.apache.spark.sql.types.LongType))
+      .write.mode("overwrite").parquet(logDir)
+    withoutCheckpointChecksums(spark) {
+      val q = dd.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty)
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(logDir): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(logDir).select(keyCols.map(col): _*)
+  }
+
   /** Streaming index ingest: every micro-batch becomes one committed LSM
     * wave (build for the first, append + tiered compaction after). DocIds
     * must already be assigned monotonically upstream (e.g. by an offset

@@ -106,4 +106,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(docId") ||
       plan.contains("In(docId"), plan)
   }
+
+  test("sampleBalanced is a broadcast join + filter — no sort, no window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.Corpus.sampleBalanced(docs, "doc_id", "lang", 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the skew-prone alternative (row_number per stratum) would show both:
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), plan)
+    // corpus side reads only the two output columns
+    val rs = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!rs.contains("text"), rs)
+  }
+
+  test("packShards never plans a single-partition global window") {
+    // the operator materializes via staging, so assert on the building
+    // blocks instead: the per-partition totals job is the only shuffle-free
+    // aggregate over spark_partition_id, and the output must cover every
+    // doc exactly once with non-decreasing shards over the id order
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ops.Corpus.packShards(docs, "doc_id", "text", 20000L)
+    val rows = out.orderBy("doc_id").as[(Long, Long)].collect()
+    assert(rows.length == docs.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val shards = rows.map(_._2)
+    assert(shards.zip(shards.tail).forall { case (a, b) => a <= b }, "monotone")
+    assert(shards.head == 0L)
+  }
 }

@@ -175,4 +175,43 @@ class StreamingSpec extends SparkSpec {
         "dropStaged must reclaim streaming staging dirs")
     } finally spark.conf.unset("spark.graft.stagingDir")
   }
+
+  test("streaming dedup emits each key once and suppresses cross-batch duplicates") {
+    // 3 ts-ordered files -> 3 micro-batches with planted duplicate keys in
+    // LATER batches; the dedup state must suppress them (a within-batch
+    // distinct would pass batch 0 but re-emit (1,a) in batch 1 and both
+    // dups in batch 2)
+    val waves = Seq(
+      Seq((1000L, 1L, "a"), (1001L, 2L, "a")),
+      Seq((2000L, 1L, "a"), (2001L, 3L, "b")), // (1,a) is a dup
+      Seq((3000L, 2L, "a"), (3001L, 1L, "b"))) // (2,a) is a dup
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-dedup-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-dedup-part$i")
+      rows.toDF("sec", "user_id", "event_type")
+        .select(timestamp_seconds(col("sec")).as("ts"),
+          col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(f"ev$i%02d.parquet"))
+      Thread.sleep(5)
+    }
+    val got = StreamingOps.distinctKeysIncremental(spark, srcDir.toString,
+        Seq("user_id", "event_type"), withinWatermark = "1 hour",
+        maxFilesPerTrigger = Some(1))
+      .as[(Long, String)].collect()
+    assert(got.length == 4, s"each key exactly once, got ${got.toSeq}")
+    assert(got.toSet == Set((1L, "a"), (2L, "a"), (3L, "b"), (1L, "b")))
+  }
+
+  test("streaming dedup over an empty source yields an empty keyed result") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val emptyDir = scratch("dedup-empty")
+    spark.read.parquet(path).limit(0)
+      .write.mode("overwrite").parquet(emptyDir)
+    val got = StreamingOps.distinctKeysIncremental(spark, emptyDir,
+      Seq("user_id", "event_type"))
+    assert(got.columns.toSeq == Seq("user_id", "event_type"))
+    assert(got.count() == 0)
+  }
 }
