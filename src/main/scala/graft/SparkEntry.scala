@@ -346,7 +346,12 @@ object SparkEntry {
     // result is exactly the batch DISTINCT
     "q31_stream_dedup" -> ((s, dir) =>
       StreamingOps.distinctKeysIncremental(s, s"$dir/events.parquet",
-        Seq("user_id", "event_type"), withinWatermark = "45 days")))
+        Seq("user_id", "event_type"), withinWatermark = "45 days")),
+    // certified-exact all-pairs near-dup over the IVF index (label-free
+    // blocking: listBound-gated replication + per-list join). Oracle =
+    // the exact all-pairs cosine relation WITHOUT q14's label restriction
+    "q32_neardup_ivf" -> ((s, dir) =>
+      graft.ops.IvfIndex.pairs(s, IndexCache.ivf(s, dir), threshold = 0.4)))
 
   /** CTE chain ending in the exact all-pairs 3-gram Jaccard relation at
     * threshold 0.9 as `jp(a, b, jac)` — the shared base of the q11/q12
@@ -600,5 +605,18 @@ object SparkEntry {
     // must equal the batch distinct — and emit each key exactly once (a
     // re-emission would fail the row-count/hash compare)
     "q31_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events")
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // exact all-pairs cosine >= 0.4 over ALL vectors (q14's oracle without
+    // the label equality) — a hard oracle for the replicate-then-join
+    // certification: a missed replication = a missing pair
+    "q32_neardup_ivf" ->
+      ("WITH ex AS (SELECT vec_id, unnest(embedding) AS v, " +
+        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), " +
+        "nn AS (SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2 FROM ex GROUP BY vec_id), " +
+        "p AS (SELECT x.vec_id AS a, y.vec_id AS b, " +
+        "sum(CAST(x.v AS DOUBLE) * CAST(y.v AS DOUBLE)) AS dp FROM ex x " +
+        "JOIN ex y ON x.i = y.i AND x.vec_id < y.vec_id GROUP BY 1, 2) " +
+        "SELECT a, b, round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos FROM p " +
+        "JOIN nn na ON na.vec_id = a JOIN nn nb ON nb.vec_id = b " +
+        "WHERE round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.4"))
 }

@@ -339,6 +339,67 @@ object IvfIndex {
     rank(candidatesFor(spark, dir, (first ++ rest).toSeq), queryVec, k, excludeId)
   }
 
+  /** Certified-exact all-pairs near-duplicate search over the indexed
+    * corpus: every pair (a, b), a < b, with `round(cos(a,b), 4) >=
+    * threshold`, found WITHOUT labels or an all-pairs join — the IVF list
+    * is the blocking key (the label-free scale path for
+    * [[Similarity.cosinePairs]]' semantics).
+    *
+    * Certification reuses [[listBound]] in the replication direction: if
+    * `theta(a,b) <= theta_t = arccos(t)`, then for b's home list L (with
+    * widest member angle theta_max), `theta(a, c_L) <= theta_t +
+    * theta_max` — equivalently `listBound(cos(a, c_L), minCos(L)) >= t`.
+    * So each vector is REPLICATED to every list passing that test (its own
+    * home list always does, bound = 1), and the join of home members x
+    * replicas per list meets every qualifying pair. With the `a.id < b.id`
+    * guard a pair is emitted exactly once: in the LOWER id's home list,
+    * by the higher id's replica (the reverse orientation fails the guard,
+    * and replica x replica meetings are never joined). `t` is set
+    * `5e-5 + 1e-12` below `threshold` so pairs that ROUND up across the
+    * threshold are still certified (HALF_UP: `round(x) >= thr` implies
+    * `x >= thr - 5e-5`), with the usual double-rounding slack.
+    *
+    * Scale shape: one narrow replication pass against the driver-broadcast
+    * sidecar (`nlist` rows), then a single shuffle join co-partitioned on
+    * (list, salt). The salt spreads a hot list's home side over
+    * `splitsPerList` tasks (replicas fan out to every salt — S-fold
+    * replica duplication for an S-fold cut of the per-task quadratic
+    * work), the same hot-key remedy as the simhash banded join. Tightly
+    * clustered corpora replicate each vector to ~1 list; diffuse corpora
+    * degrade toward cross-replication but NEVER miss a pair.
+    */
+  def pairs(spark: SparkSession, dir: String, threshold: Double,
+      splitsPerList: Int = 4): DataFrame = {
+    require(splitsPerList >= 1)
+    val lists = readLists(spark, dir)
+    val cents = lists.map(_.centroid)
+    val minCs = lists.map(_.minCos)
+    val listIds = lists.map(_.list)
+    val t = threshold - 5e-5 - 1e-12
+    val qualify = udf { (v: Seq[Float]) =>
+      if (v == null) Seq.empty[Int]
+      else {
+        val iv = v.toIndexedSeq
+        cents.indices
+          .filter(l => listBound(cosineTo(iv, cents(l)), minCs(l)) >= t)
+          .map(listIds(_))
+      }
+    }
+    val data = spark.read.parquet(dataPath(dir))
+      .select(col("id"), col("vec"), col("list"))
+    val home = data
+      .withColumn("g", pmod(hash(col("id")), lit(splitsPerList)))
+    val reps = data
+      .select(col("id").as("rid"), col("vec").as("rvec"),
+        explode(qualify(col("vec"))).as("list"))
+      .withColumn("g", explode(sequence(lit(0), lit(splitsPerList - 1))))
+    home.join(reps, Seq("list", "g"))
+      .where(col("id") < col("rid"))
+      .select(col("id").as("a"), col("rid").as("b"),
+        round(cosine_sim(col("vec"), col("rvec")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Certified-exact BATCHED top-k: one result set per row of `queries`
     * ((qidCol LONG, vecCol ARRAY<FLOAT>)), returned as (qid, id, cos) with
     * cos rounded to 4 decimals and ranked by (cos DESC, id ASC) — the

@@ -505,6 +505,66 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF pairs equals brute-force all-pairs and is salt-invariant") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val dir = scratch("ivfidx-pairs")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, dim)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = emb.as[(Long, Seq[Float])].collect()
+    val want = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      c = r4(graft.ops.IvfIndex.cosineTo(va.toIndexedSeq, vb.toArray))
+      if c >= 0.4
+    } yield (a, b, c)).toSet
+    for (s <- Seq(1, 4)) {
+      val got = graft.ops.IvfIndex.pairs(spark, dir, 0.4, splitsPerList = s)
+        .as[(Long, Long, Double)].collect()
+      assert(got.length == got.toSet.size, s"dup pairs at splits=$s")
+      assert(got.toSet == want, s"splits=$s")
+    }
+  }
+
+  test("IVF pairs replication prunes on a tightly clustered corpus") {
+    // 8 tight clusters far apart: a high threshold keeps every vector's
+    // replica set at exactly its home list, so the blocked join does
+    // ~1/8th of the all-pairs work while staying exact
+    val rows = (0 until 240).map { i =>
+      val v = Array.fill(16)(0.001f * (i % 5))
+      v(i % 8) = 10f + (i % 7) * 0.01f
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = scratch("ivfidx-pairs-tight")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, 16, nlist = 8)
+    val lists = graft.ops.IvfIndex.readLists(spark, dir)
+    val repCounts = rows.map { case (_, v) =>
+      lists.count(li => graft.ops.IvfIndex.listBound(
+        graft.ops.IvfIndex.cosineTo(v.toIndexedSeq, li.centroid),
+        li.minCos) >= 0.95 - 5e-5 - 1e-12)
+    }
+    // perfectly resolved clustering would give home-only replication (=1);
+    // the seeded k-means init may merge clusters, widening a list and
+    // attracting extra replicas — so assert a robust pruning factor
+    // instead: well under half of full cross-replication
+    val full = rows.size * lists.length
+    assert(repCounts.sum < full / 2,
+      s"replication ${repCounts.sum} is not pruning vs full $full")
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (a, va) <- rows; (b, vb) <- rows if a < b
+      c = r4(graft.ops.IvfIndex.cosineTo(va.toIndexedSeq, vb.toArray))
+      if c >= 0.95
+    } yield (a, b, c)).toSet
+    val got = graft.ops.IvfIndex.pairs(spark, dir, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   // ---- corpus curation --------------------------------------------------
 
   test("deduplicate keeps cluster minima and drops the rest") {
