@@ -620,4 +620,33 @@ class OpsSpec extends SparkSpec {
       assert(got == expected, s"partitions=$p")
     }
   }
+
+  test("Curate CLI pipeline: dedup -> sample -> pack end-to-end") {
+    // planted corpus + a lang column (two strata); cap 80 forces the 150-doc
+    // stratum to downsample while the small one keeps every row
+    val withLang = planted.withColumn("lang",
+      when(col("doc_id") % 4 === 0, "sm").otherwise("bg"))
+    val root = java.nio.file.Files.createTempDirectory("curate").toString
+    withLang.write.mode("overwrite").parquet(s"$root/in")
+    val out = graft.ops.Curate.run(spark, Seq(
+      "pipeline", s"parquet:$root/in", s"$root/out",
+      "--threshold", "0.9", "--cap", "80", "--budget", "2000"))
+    assert(out.columns.toSet == Set("doc_id", "text", "lang", "shard"))
+    val rows = out.select("doc_id", "lang", "shard")
+      .as[(Long, String, Long)].collect()
+    // duplicates dropped before sampling
+    assert(!rows.exists(r => Set(200L, 201L, 202L).contains(r._1)))
+    // per-stratum caps respected in expectation (binomial around 80)
+    val byLang = rows.groupBy(_._2).map { case (l, rs) => l -> rs.length }
+    assert(byLang("bg") <= 120 && byLang("bg") >= 45, byLang.toString)
+    // shards are the contiguous prefix 0..max over the kept id order
+    val shards = rows.sortBy(_._1).map(_._3)
+    assert(shards.head == 0L && shards.sameElements(shards.sorted))
+    assert(shards.distinct.length == shards.max + 1)
+    // single-op commands write too
+    graft.ops.Curate.run(spark, Seq(
+      "sample", s"parquet:$root/in", s"$root/sample", "--cap", "80"))
+    assert(spark.read.parquet(s"$root/sample").columns.toSet ==
+      Set("doc_id", "lang"))
+  }
 }
