@@ -57,6 +57,48 @@ object BuildIndex {
   }
 }
 
+/** Continuous streaming index ingest (SURVEY.md §2.1 #2's production
+  * shape as a spark-submit app):
+  *
+  *   spark-submit --class graft.StreamIndex app.jar <watchDir> <indexDir> \
+  *       [--checkpoint DIR] [--docs-per-segment N] [--no-positions] \
+  *       [--max-files-per-trigger N] [--no-compact] [--once]
+  *
+  * Watches `watchDir` for pages-shaped parquet drops; every micro-batch
+  * commits one LSM wave, tiered compaction keeps the wave count bounded,
+  * and with `--checkpoint` a restart resumes exactly-once (the manifest's
+  * stream-batch high-water mark suppresses foreachBatch replays). `--once`
+  * drains what is currently available and exits (cron-style ingest);
+  * without it the query runs until killed.
+  */
+object StreamIndex {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: StreamIndex <watchDir> <indexDir> [flags]")
+    val watchDir = args(0)
+    val indexDir = args(1)
+    val flags = args.drop(2)
+    def flagVal(name: String): Option[String] =
+      flags.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val spark = CliSession.session("graft-stream-index")
+    val opts = IndexOptions(
+      docsPerSegment = flagVal("--docs-per-segment").map(_.toLong).getOrElse(1L << 20),
+      withPositions = !flags.contains("--no-positions"))
+    val q = graft.streaming.StreamingOps.ingestPagesStream(
+      spark, watchDir, indexDir, opts,
+      maxFilesPerTrigger = flagVal("--max-files-per-trigger").map(_.toInt).getOrElse(8),
+      checkpointDir = flagVal("--checkpoint"),
+      compact = !flags.contains("--no-compact"))
+    if (flags.contains("--once")) {
+      q.processAllAvailable()
+      q.stop()
+      val m = ManifestIO.read(indexDir)
+      println(s"drained: index now ${m.totalDocs} docs / ${m.waves.size} " +
+        s"wave(s), last stream batch ${m.lastStreamBatch}")
+      spark.stop()
+    } else q.awaitTermination()
+  }
+}
+
 object QueryIndex {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: QueryIndex <indexDir> <mode> term... [flags]")

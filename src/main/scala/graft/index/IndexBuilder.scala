@@ -150,21 +150,29 @@ object IndexBuilder {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Fresh build: wipes `dir`, builds wave 0, commits manifest. */
+  /** Fresh build: wipes `dir`, builds wave 0, commits manifest.
+    * `streamBatch` (when >= 0) stamps the streaming-ingest high-water mark
+    * into the SAME atomic manifest commit as the wave — see
+    * [[IndexManifest.lastStreamBatch]].
+    */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
-      opts: IndexOptions = IndexOptions()): IndexManifest = {
+      opts: IndexOptions = IndexOptions(),
+      streamBatch: Long = -1L): IndexManifest = {
     hadoopDelete(spark, dir)
     val m0 = IndexManifest(Version, Tokenize.Version, opts.docsPerSegment,
       opts.blockSize, opts.withPositions, Nil)
     // buildWave writes the wave's termstats too (data before manifest)
     val w = buildWave(spark, docs, dir, 0, opts, enforceBase = None, enforceMinTs = None)
-    val m = m0.copy(waves = List(w))
+    val m = m0.copy(waves = List(w), lastStreamBatch = streamBatch)
     ManifestIO.write(dir, m)
     m
   }
 
-  /** LSM append: builds the next wave over already-committed ones. */
-  def append(spark: SparkSession, docs: DataFrame, dir: String): IndexManifest = {
+  /** LSM append: builds the next wave over already-committed ones.
+    * `streamBatch` as in [[build]].
+    */
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+      streamBatch: Long = -1L): IndexManifest = {
     val m0 = ManifestIO.read(dir)
     val opts = IndexOptions(m0.docsPerSegment, m0.blockSize, m0.withPositions)
     val wave = if (m0.waves.isEmpty) 0 else m0.waves.map(_.wave).max + 1
@@ -180,7 +188,8 @@ object IndexBuilder {
     // append cost)
     val w = buildWave(spark, docs, dir, wave, opts,
       enforceBase = Some(m0.nextDocBase), enforceMinTs = prevMaxTs)
-    val m = m0.copy(waves = m0.waves :+ w)
+    val m = m0.copy(waves = m0.waves :+ w,
+      lastStreamBatch = math.max(streamBatch, m0.lastStreamBatch))
     ManifestIO.write(dir, m)
     m
   }

@@ -34,8 +34,10 @@ object ManifestIO {
         s""""minDocId":${w.minDocId},"maxDocId":${w.maxDocId},"minTs":${w.minTs},"maxTs":${w.maxTs},""" +
         s""""buildSec":${w.buildSec},"docsPerSec":${w.docsPerSec},"postingsPerSec":${w.postingsPerSec}$dmw}"""
     }.mkString("[", ",", "]")
+    val lsb = if (m.lastStreamBatch < 0) ""
+      else s""""lastStreamBatch":${m.lastStreamBatch},"""
     s"""{"version":${m.version},"tokenizer":"${esc(m.tokenizer)}","docsPerSegment":${m.docsPerSegment},""" +
-      s""""blockSize":${m.blockSize},"withPositions":${m.withPositions},""" +
+      s""""blockSize":${m.blockSize},"withPositions":${m.withPositions},$lsb""" +
       s""""totalDocs":${m.totalDocs},"totalTokens":${m.totalTokens},"waves":$waves}"""
   }
 
@@ -124,6 +126,10 @@ object ManifestIO {
       docsPerSegment = root.get("docsPerSegment").asLong(),
       blockSize = root.get("blockSize").asInt(),
       withPositions = root.get("withPositions").asBoolean(),
-      waves = buf.toList)
+      waves = buf.toList,
+      lastStreamBatch = {
+        val n = root.get("lastStreamBatch")
+        if (n == null) -1L else n.asLong()
+      })
   }
 }

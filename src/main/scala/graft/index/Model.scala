@@ -88,13 +88,22 @@ final case class WaveInfo(
     if (docmetaWaves.isEmpty) Seq(wave) else docmetaWaves
 }
 
+/** `lastStreamBatch`: high-water mark of the streaming-ingest batchId
+  * whose wave this manifest already contains (-1 = none / batch ingest
+  * only). Committed atomically WITH the wave entry, so a replayed
+  * `foreachBatch` (at-least-once) can be skipped exactly-once: either the
+  * crash happened before the commit (no wave, no mark — the replay
+  * ingests) or after it (wave and mark both visible — the replay
+  * no-ops). Compaction's `m0.copy` carries it through untouched.
+  */
 final case class IndexManifest(
     version: Int,
     tokenizer: String,
     docsPerSegment: Long,
     blockSize: Int,
     withPositions: Boolean,
-    waves: List[WaveInfo]) {
+    waves: List[WaveInfo],
+    lastStreamBatch: Long = -1L) {
   def totalDocs: Long = waves.map(_.numDocs).sum
   def totalTokens: Long = waves.map(_.totalTokens).sum
   def avgdl: Double = if (totalDocs == 0) 0.0 else totalTokens.toDouble / totalDocs

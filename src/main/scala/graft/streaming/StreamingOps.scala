@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.index.{IndexBuilder, IndexManifest, IndexOptions, ManifestIO}
+import graft.sources.CorpusSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -229,6 +230,61 @@ object StreamingOps {
         IndexBuilder.append(batch.sparkSession, batch, indexDir)
         graft.index.Compactor.compact(batch.sparkSession, indexDir): Unit
       }
+    }.start()
+  }
+
+  /** One micro-batch of pages-shaped rows into the index, EXACTLY-ONCE
+    * under foreachBatch's at-least-once replay: docIds are assigned from
+    * the committed manifest's `nextDocBase`, and the wave commit stamps
+    * `batchId` into [[graft.index.IndexManifest.lastStreamBatch]] in the
+    * SAME atomic manifest write — so a replayed batchId <= the mark
+    * no-ops, and a crash mid-ingest leaves neither wave nor mark (the
+    * replay ingests cleanly over the stale, uncommitted files, which
+    * `append` wipes). Returns true when the batch was ingested.
+    *
+    * Factored out of [[ingestPagesStream]] so tests can drive replay
+    * directly; single-writer discipline (one stream per index dir).
+    */
+  def ingestPagesBatch(batch: DataFrame, indexDir: String,
+      opts: IndexOptions, batchId: Long, compact: Boolean = true): Boolean = {
+    val s = batch.sparkSession
+    val committed = ManifestIO.exists(indexDir)
+    val m0 = if (committed) Some(ManifestIO.read(indexDir)) else None
+    if (m0.exists(_.lastStreamBatch >= batchId) || batch.isEmpty) false
+    else {
+      val input = CorpusSource.pagesAsIndexInput(batch, assignIds = true,
+        idBase = m0.map(_.nextDocBase).getOrElse(0L))
+      if (!committed)
+        IndexBuilder.build(s, input, indexDir, opts, streamBatch = batchId)
+      else {
+        IndexBuilder.append(s, input, indexDir, streamBatch = batchId)
+        if (compact) graft.index.Compactor.compact(s, indexDir)
+      }
+      true
+    }
+  }
+
+  /** Continuous index ingest from a directory of pages-shaped parquet
+    * drops (url, warc_ts, html|text, ...): each micro-batch becomes one
+    * committed LSM wave via [[ingestPagesBatch]] (exactly-once across
+    * restarts when `checkpointDir` is set — the file-source checkpoint
+    * replays the same files under the same batchId, and the manifest's
+    * batch high-water mark suppresses the re-ingest). Tiered compaction
+    * runs after every append, so long-running streams keep a bounded wave
+    * count. The schema is pinned from the files present at start.
+    */
+  def ingestPagesStream(spark: SparkSession, watchDir: String,
+      indexDir: String, opts: IndexOptions, maxFilesPerTrigger: Int = 8,
+      checkpointDir: Option[String] = None, compact: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(watchDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(watchDir)
+    val sink = src.writeStream
+    checkpointDir.foreach(c => sink.option("checkpointLocation", c))
+    sink.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestPagesBatch(batch, indexDir, opts, batchId, compact): Unit
     }.start()
   }
 }

@@ -214,4 +214,59 @@ class StreamingSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("user_id", "event_type"))
     assert(got.count() == 0)
   }
+
+  test("pages-stream ingest equals batch per term and replays are exactly-once") {
+    val pages = (0 until 120).map { i =>
+      (f"https://ex.com/p$i%03d", 1700000000000L + i * 1000L,
+        s"tok${i % 13} tok${i % 7} shared")
+    }.toDF("url", "warc_ts", "text")
+    // three single-file drops with strictly increasing mtimes (in-order
+    // micro-batches), like the changelog-compaction test above
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-pages-in")
+    Seq(0 until 40, 40 until 80, 80 until 120).zipWithIndex.foreach {
+      case (range, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-pages-part$i")
+        pages.where(col("url") >= f"https://ex.com/p${range.head}%03d" &&
+            col("url") <= f"https://ex.com/p${range.last}%03d")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, srcDir.resolve(f"pg$i%02d.parquet"))
+        Thread.sleep(5)
+    }
+    val idxDir = scratch("pages-stream-idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pages-ckpt")
+    val opts = IndexOptions(docsPerSegment = 64)
+    val q = StreamingOps.ingestPagesStream(spark, srcDir.toString, idxDir,
+      opts, maxFilesPerTrigger = 1, checkpointDir = Some(ckpt.toString))
+    q.processAllAvailable()
+    q.stop()
+    val m = ManifestIO.read(idxDir)
+    assert(m.totalDocs == 120)
+    assert(m.lastStreamBatch == 2, s"3 drops -> batches 0..2, got ${m.lastStreamBatch}")
+
+    // per-term url sets equal a one-shot batch build over the same pages
+    // (url-keyed: docId spaces differ between the two builds by design)
+    val batchDir = scratch("pages-batch-idx")
+    IndexBuilder.build(spark,
+      graft.sources.CorpusSource.pagesAsIndexInput(pages), batchDir, opts)
+    def urls(dir: String, term: String): Set[String] = {
+      val s = new Searcher(spark, dir)
+      s.resolve(s.lookup(term)).select("key").as[String].collect().toSet
+    }
+    for (t <- Seq("shared", "tok0", "tok5", "tok12"))
+      assert(urls(idxDir, t) == urls(batchDir, t), s"term $t")
+
+    // replay: batchIds at or below the committed mark no-op atomically
+    val replay = spark.read.parquet(s"$srcDir/pg00.parquet")
+    assert(!StreamingOps.ingestPagesBatch(replay, idxDir, opts, batchId = 2))
+    assert(!StreamingOps.ingestPagesBatch(replay, idxDir, opts, batchId = 0))
+    assert(ManifestIO.read(idxDir).totalDocs == 120)
+    // a NEW batch ingests and advances the mark past gaps
+    val extra = Seq(("https://ex.com/zz1", 1700001000000L, "fresh shared"))
+      .toDF("url", "warc_ts", "text")
+    assert(StreamingOps.ingestPagesBatch(extra, idxDir, opts, batchId = 7))
+    val m2 = ManifestIO.read(idxDir)
+    assert(m2.totalDocs == 121 && m2.lastStreamBatch == 7)
+    assert(urls(idxDir, "fresh") == Set("https://ex.com/zz1"))
+  }
 }
