@@ -324,13 +324,51 @@ object Dedup {
     */
   def clusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "a", bCol: String = "b", maxRounds: Int = 50,
-      checkpointEvery: Int = 6, stagingDir: Option[String] = None): DataFrame = {
+      checkpointEvery: Int = 6, stagingDir: Option[String] = None,
+      smallGraphPairs: Int = 1 << 19): DataFrame = {
     require(maxRounds >= 1 && checkpointEvery >= 1)
     val spark = nodes.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ids = nodes.select(col(idCol).cast("long").as("id"))
     val p = pairs.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
+    // Small-graph fast path. The PAIR table (never the corpus) is usually
+    // tiny relative to the input — near-dup graphs are sparse — and the
+    // distributed loop below costs ~4 fixed Spark jobs per round no matter
+    // how small the graph is. When the pairs fit an explicit bounded driver
+    // budget (same bounded-collect discipline as Searcher's ≤4096-segId
+    // pushdown: probe with limit(n+1), fall back when exceeded), one
+    // driver-side union-find + a broadcast rep-map join replaces the loop.
+    // Components NOT in any pair keep their own id via the left join, so
+    // only O(pairs) ids ever reach the driver.
+    val probe = p.limit(smallGraphPairs + 1).collect()
+    if (probe.length <= smallGraphPairs) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      probe.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN root: the canonical rep is the component minimum
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+      }
+      val repRows = parent.keys.toSeq.map(k => (k, find(k)))
+      import spark.implicits._
+      val repDf = repRows.toDF("id", "rep")
+      val out = ids.join(broadcast(repDf), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("rep"), col("id")).as("rep"))
+      return materializeAndRelease(out, Nil, stagingDir)
+    }
     val edges = p.select(col("a").as("u"), col("b").as("v"))
       .union(p.select(col("b").as("u"), col("a").as("v")))
       .persist(lvl)

@@ -108,8 +108,26 @@ class OpsSpec extends SparkSpec {
     val nodes = (0L until n).toSeq.toDF("id")
     val pairs = (1L until n).map(i => (i - 1, i)).toDF("a", "b")
     val got = Dedup.clusters(nodes, "id", pairs, maxRounds = 14,
-        checkpointEvery = 3).as[(Long, Long)].collect()
+        checkpointEvery = 3, smallGraphPairs = 0) // force the distributed loop
+      .as[(Long, Long)].collect()
     assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
+  test("clusters: small-graph union-find fast path equals the distributed loop") {
+    // mixed shapes: a chain, a star, disjoint pairs, self-loops, an id
+    // appearing in pairs but not in nodes (must still resolve reps through
+    // it), and singletons untouched by any pair
+    val nodes = (0L until 40L).toSeq.toDF("id")
+    val pairs = ((1L until 12L).map(i => (i - 1, i)) ++
+      Seq((20L, 25L), (20L, 26L), (20L, 27L), (30L, 30L), (33L, 99L),
+        (99L, 34L))).toDF("a", "b")
+    val fast = Dedup.clusters(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusters(nodes, "id", pairs, smallGraphPairs = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+    assert(fast(11L) == 0L && fast(27L) == 20L && fast(34L) == 33L)
+    assert(fast(39L) == 39L && fast.size == 40)
   }
 
   test("clusters over minhashDedup pairs: planted duplicates share their source's rep") {
