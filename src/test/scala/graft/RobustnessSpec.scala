@@ -80,6 +80,52 @@ class RobustnessSpec extends SparkSpec {
     assert(s.bm25(Seq("anything"), 5).count() == 0)
   }
 
+  test("CLI arg validation fails fast with usage errors, not deep NPEs") {
+    val docsSpec = "parquet:/root/testdata/sf0.001/documents.parquet"
+    val e1 = intercept[Exception] {
+      graft.ops.Curate.run(spark,
+        Seq("frobnicate", docsSpec, scratch("curate-bad")))
+    }
+    assert(e1.getMessage.contains("unknown curate command"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Curate.run(spark, Seq("dedup"))
+    }
+    assert(e2.getMessage.contains("usage"))
+    // unknown scheme falls back to bare-path parquet and fails on read,
+    // not with an opaque match error
+    intercept[Exception] {
+      graft.sources.CorpusSource.load(spark, "giraffe:/what").count()
+    }
+  }
+
+  test("stream-batch high-water mark survives manifest round-trip and compaction copy") {
+    val dir = scratch("hwm")
+    val m = IndexBuilder.build(spark,
+      Seq((0L, "k", "alpha beta")).toDF("docId", "key", "text"), dir,
+      streamBatch = 41L)
+    assert(m.lastStreamBatch == 41L)
+    assert(ManifestIO.read(dir).lastStreamBatch == 41L)
+    // append without a stream batch keeps the mark; with a newer one, advances
+    IndexBuilder.append(spark,
+      Seq((1L, "k2", "beta gamma")).toDF("docId", "key", "text"), dir)
+    assert(ManifestIO.read(dir).lastStreamBatch == 41L)
+    IndexBuilder.append(spark,
+      Seq((2L, "k3", "gamma delta")).toDF("docId", "key", "text"), dir,
+      streamBatch = 43L)
+    assert(ManifestIO.read(dir).lastStreamBatch == 43L)
+    graft.index.Compactor.compact(spark, dir)
+    assert(ManifestIO.read(dir).lastStreamBatch == 43L,
+      "compaction's manifest rewrite must carry the mark through")
+    // batch-only manifests keep emitting no mark field at all
+    val dir2 = scratch("hwm-none")
+    IndexBuilder.build(spark,
+      Seq((0L, "k", "solo")).toDF("docId", "key", "text"), dir2)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, ManifestIO.FileName)), "UTF-8")
+    assert(!txt.contains("lastStreamBatch"))
+    assert(ManifestIO.read(dir2).lastStreamBatch == -1L)
+  }
+
   test("huge single document round-trips (100k tokens)") {
     val big = (0 until 100000).map(i => s"t${i % 5000}").mkString(" ")
     val dir = scratch("bigdoc")
