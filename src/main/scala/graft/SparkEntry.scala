@@ -71,6 +71,16 @@ object IndexCache {
       graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, dim)
       dir
     })
+
+  /** PQ sidecar over the IVF index (codes + certified error bounds,
+    * PqIndex scaladoc). Builds on top of [[ivf]]'s layout.
+    */
+  def pq(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"pq:$sfDir", {
+      val dir = ivf(spark, sfDir)
+      graft.ops.PqIndex.build(spark, dir)
+      dir
+    })
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -270,6 +280,23 @@ object SparkEntry {
         .head().getSeq[Float](0).toArray
       roundedTopK(n =>
         graft.ops.IvfIndex.topK(s, IndexCache.ivf(s, dir), q, n, excludeId = Some(0L))
+          .select(col("id").as("vec_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))), 10)
+        .toDF("vec_id", "cos")
+    }),
+    // IVF-PQ: same certified-exact contract as q25 but the candidate scan
+    // reads 8-byte PQ codes instead of 256-byte vectors; the stored
+    // quantization residual makes [est-err, est+err] a certified cosine
+    // interval, so only interval survivors are exact-rescored and the
+    // brute-force SQL stays a HARD oracle (PqIndex scaladoc)
+    "q33_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      roundedTopK(n =>
+        graft.ops.PqIndex.topK(s, IndexCache.pq(s, dir), q, n, excludeId = Some(0L))
           .select(col("id").as("vec_id"), round(col("cos"), 4).as("cos"))
           .orderBy(col("cos").desc, col("vec_id"))
           .collect().map(r => (r.getLong(0), r.getDouble(1))), 10)
@@ -481,6 +508,7 @@ object SparkEntry {
     "q15_ann_topk" -> bruteAnnOracleSql,
     "q16_ann_lsh" -> bruteAnnOracleSql,
     "q25_ann_ivf" -> bruteAnnOracleSql,
+    "q33_ann_pq" -> bruteAnnOracleSql,
     // brute-force per-query top-10 over the batch (vec_id % 37 = 0), ranked
     // by the shared (rounded cos DESC, id ASC) order — a hard oracle for
     // the whole batched quantize->probe->certify->rescore path

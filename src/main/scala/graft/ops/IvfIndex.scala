@@ -275,6 +275,13 @@ object IvfIndex {
       .map(lists(_).list)
   }
 
+  /** Full (id, vec, list) scan of the index layout — the input to sidecar
+    * builders like [[PqIndex.build]] that need the list partition key.
+    */
+  def vectors(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dataPath(dir))
+      .select(col("id"), col("vec"), col("list"))
+
   /** Pruned scan of an explicit list set (partition pruning on `list`). */
   def candidatesFor(spark: SparkSession, dir: String,
       lists: Seq[Int]): DataFrame =

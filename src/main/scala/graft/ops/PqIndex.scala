@@ -1,0 +1,350 @@
+package graft.ops
+
+import graft.functions.VectorFunctions.cosine_sim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization sidecar over an [[IvfIndex]] layout — the standard
+  * web-scale ANN compression (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", 2011; the FAISS IVF-PQ design), here with a
+  * twist that keeps the DuckDB brute-force SQL a HARD oracle: the search
+  * is CERTIFIED EXACT, not approximate.
+  *
+  * Layout (under the IVF dir, list-partitioned like the vectors):
+  *
+  *   dir/pq/codes/list=N/   (id LONG, code BINARY[m], err DOUBLE)
+  *   dir/pq/codebooks/      (sub INT, code INT, centroid ARRAY<FLOAT>)
+  *   dir/pq/pq_params.json
+  *
+  * Each NORMALIZED vector is split into `m` subvectors of dim/m dims;
+  * every subvector is replaced by the id of its nearest codeword (k-means
+  * in each subspace, `ks` codewords), so a 64-dim float vector (256 bytes)
+  * scans as an 8-byte code — the 100-TB lever: the candidate scan touches
+  * codes, not vectors.
+  *
+  * The exactness twist: `err = ||x_n - x̂_n||` (the vector's own
+  * quantization residual) is stored next to the code. For a normalized
+  * query q, the ADC estimate `est = dot(q, x̂_n)` satisfies
+  * `|cos(q, x) - est| = |dot(q, x_n - x̂_n)| <= ||q|| * err = err`
+  * (Cauchy-Schwarz), so `[est - err, est + err]` is a certified interval
+  * for the true cosine. The search exact-rescores ONLY candidates whose
+  * upper bound reaches a certified lower bound on the k-th cosine:
+  *
+  *   1. scan the `nprobe0` probed lists' CODES; the k-th largest
+  *      `est - err` is a valid lower bound L1 (those k true cosines each
+  *      beat their own lower bound);
+  *   2. exact-rescore probed candidates with `est + err >= L1`; the k-th
+  *      EXACT cosine L2 >= L1 tightens the bound;
+  *   3. close the list set with [[IvfIndex.listBound]] at L2 (as in
+  *      [[IvfIndex.topK]]), scan those lists' codes, rescore the
+  *      survivors of the same interval test, and take the final top-k
+  *      over everything exact-scored.
+  *
+  * Any vector never exact-scored either sits in a list whose bound is
+  * below L2 <= final k-th, or has `est + err < L2` — both certify
+  * `cos < k-th`, so the top-k is exact. Tight codebooks rescore a handful
+  * of rows; a degenerate corpus (every interval straddling the bound)
+  * degrades toward IVF-exact but NEVER loses a true neighbor.
+  *
+  * Training is deterministic and bounded: per-subspace Lloyd k-means on a
+  * seeded hash sample of at most `trainSample` NORMALIZED vectors,
+  * collected to the driver (an explicit O(trainSample * dim) budget, like
+  * the other bounded collects; assignment/encoding is distributed and
+  * sees every row). Zero vectors and dim-mismatched rows encode with
+  * `err = 2.0` — an interval that always forces exact rescoring, so the
+  * cosine convention (0.0) is preserved without a special decode path.
+  */
+object PqIndex {
+
+  final case class PqParams(dim: Int, m: Int, ks: Int, seed: Long, iters: Int)
+
+  private def pqRoot(dir: String) = s"$dir/pq"
+  private def codesPath(dir: String) = s"${pqRoot(dir)}/codes"
+  private def codebooksPath(dir: String) = s"${pqRoot(dir)}/codebooks"
+  private def paramsPath(dir: String) = s"${pqRoot(dir)}/pq_params.json"
+
+  private def writeParams(spark: SparkSession, dir: String, p: PqParams): Unit = {
+    val path = new org.apache.hadoop.fs.Path(paramsPath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.write((s"""{"dim":${p.dim},"m":${p.m},"ks":${p.ks},""" +
+      s""""seed":${p.seed},"iters":${p.iters}}""").getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readParams(spark: SparkSession, dir: String): PqParams = {
+    val path = new org.apache.hadoop.fs.Path(paramsPath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    def field(n: String): Long =
+      s""""$n":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    PqParams(field("dim").toInt, field("m").toInt, field("ks").toInt,
+      field("seed"), field("iters").toInt)
+  }
+
+  /** codebooks(sub)(code) = codeword (dim/m floats). A subspace may hold
+    * FEWER than `ks` codewords (the seeded init dedups coincident
+    * subvectors), so each book is sized from the stored codes.
+    */
+  def readCodebooks(spark: SparkSession, dir: String,
+      p: PqParams): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(codebooksPath(dir)).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    Array.tabulate(p.m) { s =>
+      val rs = bySub.getOrElse(s, Array.empty)
+      val book = new Array[Array[Float]](rs.map(_.getInt(1)).max + 1)
+      rs.foreach(r => book(r.getInt(1)) = r.getSeq[Float](2).toArray)
+      book
+    }
+  }
+
+  private[ops] def normalize(v: IndexedSeq[Float], dim: Int): Option[Array[Float]] = {
+    if (v == null || v.length != dim) return None
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+    if (n2 == 0.0) None
+    else {
+      val inv = 1.0 / math.sqrt(n2)
+      Some(Array.tabulate(dim)(j => (v(j) * inv).toFloat))
+    }
+  }
+
+  private def sqDist(x: Array[Float], off: Int, c: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) {
+      val t = x(off + i).toDouble - c(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  /** Deterministic per-subspace Lloyd k-means over a bounded driver-side
+    * sample of normalized vectors. Codewords that lose every member keep
+    * their previous position (stable code ids). Subspaces train
+    * independently and concurrently.
+    */
+  private[ops] def trainBooks(sample: Array[Array[Float]], dim: Int, m: Int,
+      ks: Int, iters: Int): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futures = (0 until m).map { s =>
+      Future {
+        val off = s * dsub
+        // seeded-order init: sample order is already a deterministic hash
+        // order (see build); dedup identical subvectors so no two codewords
+        // start coincident
+        val init = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val seen = scala.collection.mutable.HashSet.empty[Seq[Float]]
+        var i = 0
+        while (i < sample.length && init.length < ks) {
+          val sub = java.util.Arrays.copyOfRange(sample(i), off, off + dsub)
+          if (seen.add(sub.toSeq)) init += sub
+          i += 1
+        }
+        var cents = init.toArray
+        var it = 0
+        while (it < iters && cents.length > 0) {
+          val sums = Array.ofDim[Double](cents.length, dsub)
+          val counts = new Array[Long](cents.length)
+          var r = 0
+          while (r < sample.length) {
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < cents.length) {
+              val d = sqDist(sample(r), off, cents(c))
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            counts(best) += 1
+            var j = 0
+            while (j < dsub) { sums(best)(j) += sample(r)(off + j); j += 1 }
+            r += 1
+          }
+          cents = Array.tabulate(cents.length) { c =>
+            if (counts(c) == 0) cents(c)
+            else Array.tabulate(dsub)(j => (sums(c)(j) / counts(c)).toFloat)
+          }
+          it += 1
+        }
+        s -> cents
+      }
+    }
+    val done = Await.result(Future.sequence(futures), Duration.Inf).toMap
+    Array.tabulate(m)(done(_))
+  }
+
+  private def encodeOne(vn: Option[Array[Float]], books: Array[Array[Array[Float]]],
+      m: Int, dsub: Int): (Array[Byte], Double) = vn match {
+    case None =>
+      // zero / malformed vector: the widest possible interval forces exact
+      // rescoring whenever it could matter; cos convention (0.0) preserved
+      (new Array[Byte](m), 2.0)
+    case Some(x) =>
+      val code = new Array[Byte](m)
+      var e2 = 0.0
+      var s = 0
+      while (s < m) {
+        val off = s * dsub
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < books(s).length) {
+          val d = sqDist(x, off, books(s)(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        code(s) = best.toByte
+        e2 += bd
+        s += 1
+      }
+      (code, math.sqrt(e2))
+  }
+
+  /** Train codebooks and encode every indexed vector into the PQ sidecar.
+    * Run after [[IvfIndex.build]]/[[IvfIndex.append]] (re-run after an
+    * append: codes are derived data, one narrow pass over the vectors).
+    */
+  def build(spark: SparkSession, dir: String, m: Int = 8, ks: Int = 256,
+      seed: Long = 42L, iters: Int = 10, trainSample: Int = 16384,
+      splitsPerList: Int = 4): Unit = {
+    require(ks >= 1 && ks <= 256, "code ids must fit one byte")
+    val ivf = IvfIndex.readParams(spark, dir)
+    val dim = ivf.dim
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val data = IvfIndex.vectors(spark, dir)
+    // bounded deterministic sample in seeded-hash order (doubles as the
+    // k-means init order); normalization happens driver-side on <=
+    // trainSample rows
+    val sampleRows = data
+      .orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainSample)
+      .select(col("vec")).collect()
+    val sample = sampleRows.iterator
+      .flatMap(r => normalize(r.getSeq[Float](0).toIndexedSeq, dim))
+      .toArray
+    require(sample.nonEmpty, "PQ training set is empty")
+    val books = trainBooks(sample, dim, m, ks, iters)
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(codebooksPath(dir))
+    writeParams(spark, dir, PqParams(dim, m, ks, seed, iters))
+    val bbooks = spark.sparkContext.broadcast(books)
+    val enc = udf { (v: Seq[Float]) =>
+      val (code, err) = encodeOne(
+        normalize(if (v == null) null else v.toIndexedSeq, dim),
+        bbooks.value, m, dsub)
+      (code, err)
+    }
+    data.select(col("id"), col("list"), enc(col("vec")).as("e"))
+      .select(col("id"), col("e._1").as("code"), col("e._2").as("err"),
+        col("list"))
+      .repartition(col("list"), pmod(hash(col("id")), lit(splitsPerList)))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(codesPath(dir))
+  }
+
+  /** Search stats for tests: how much work the certification avoided. */
+  final case class SearchStats(rescored: Long, codesScanned: Long,
+      listsScanned: Int, nlist: Int)
+
+  /** Certified-exact cosine top-k over the PQ sidecar (object scaladoc).
+    * Drop-in for [[IvfIndex.topK]]; same (cos DESC, id ASC) order. The
+    * result is materialized (k rows, bounded) so the round frames can be
+    * released deterministically.
+    */
+  def topK(spark: SparkSession, dir: String, queryVec: Array[Float], k: Int,
+      excludeId: Option[Long] = None, nprobe0: Int = 4): DataFrame =
+    topKWithStats(spark, dir, queryVec, k, excludeId, nprobe0,
+      withStats = false)._1
+
+  private[graft] def topKWithStats(spark: SparkSession, dir: String,
+      queryVec: Array[Float], k: Int, excludeId: Option[Long] = None,
+      nprobe0: Int = 4, withStats: Boolean = true): (DataFrame, SearchStats) = {
+    val eps = 1e-12
+    val p = readParams(spark, dir)
+    val books = readCodebooks(spark, dir, p)
+    val lists = IvfIndex.readLists(spark, dir)
+    val qv = queryVec.toIndexedSeq
+    val qn = normalize(qv, p.dim).getOrElse(new Array[Float](p.dim))
+    // ADC table: adc(sub)(code) = dot(q_sub, codeword)
+    val dsub = p.dim / p.m
+    val adc: Array[Array[Double]] = Array.tabulate(p.m) { s =>
+      val off = s * dsub
+      books(s).map { c =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { d += qn(off + i).toDouble * c(i); i += 1 }
+        d
+      }
+    }
+    val badc = spark.sparkContext.broadcast(adc)
+    val est = udf { (code: Array[Byte]) =>
+      val t = badc.value
+      var d = 0.0; var s = 0
+      while (s < t.length) { d += t(s)(code(s) & 0xff); s += 1 }
+      d
+    }
+    def codesFor(ls: Seq[Int]): DataFrame = {
+      val base = spark.read.parquet(codesPath(dir))
+        .where(col("list").isin(ls: _*))
+      excludeId.foldLeft(base)((d, e) => d.where(col("id") =!= e))
+        .select(col("id"), est(col("code")).as("est"), col("err"))
+    }
+    def rescore(surv: DataFrame, ls: Seq[Int]): DataFrame = {
+      val cand = excludeId.foldLeft(IvfIndex.candidatesFor(spark, dir, ls))(
+        (d, e) => d.where(col("id") =!= e))
+      cand.join(surv.select("id"), Seq("id"))
+        .select(col("id"),
+          cosine_sim(col("vec"), typedLit(queryVec.toSeq)).as("cos"))
+    }
+    def kthOf(df: DataFrame, valueCol: String): Double = {
+      val rows = df.orderBy(col(valueCol).desc).limit(k)
+        .select(valueCol).collect()
+      if (rows.length < k) Double.NegativeInfinity
+      else rows.map(_.getDouble(0)).min
+    }
+    val cq = lists.map(li => IvfIndex.cosineTo(qv, li.centroid))
+    val first = IvfIndex.probeLists(queryVec, lists, nprobe0).toSeq
+    // round 1: lower-bound the k-th from codes alone, rescore the interval
+    // survivors, tighten to the exact k-th
+    val codes1 = codesFor(first).persist()
+    val l1 = kthOf(codes1.withColumn("lb", col("est") - col("err")), "lb")
+    val surv1 = codes1.where(col("est") + col("err") >= l1 - eps)
+    val exact1 = rescore(surv1, first).persist()
+    val l2 = math.max(kthOf(exact1, "cos"), l1)
+    // round 2: close the list set at the exact k-th, same interval test
+    val firstSet = first.toSet
+    val rest = lists.indices
+      .filter(l => !firstSet.contains(lists(l).list))
+      .filter(l => IvfIndex.listBound(cq(l), lists(l).minCos) >= l2 - eps)
+      .map(lists(_).list)
+    val codes2 =
+      if (rest.isEmpty) None else Some(codesFor(rest).persist())
+    val surv2 = codes2.map(_.where(col("est") + col("err") >= l2 - eps))
+    val exact2 = surv2.map(rescore(_, rest))
+    val all = exact2.foldLeft(exact1)(_ union _)
+    val top = all.orderBy(col("cos").desc, col("id")).limit(k).collect()
+    val stats =
+      if (!withStats) SearchStats(-1, -1, first.length + rest.length, lists.length)
+      else SearchStats(
+        rescored = surv1.count() + surv2.map(_.count()).getOrElse(0L),
+        codesScanned = codes1.count() + codes2.map(_.count()).getOrElse(0L),
+        listsScanned = first.length + rest.length,
+        nlist = lists.length)
+    codes1.unpersist()
+    exact1.unpersist()
+    codes2.foreach(_.unpersist())
+    import spark.implicits._
+    val out = top.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("id", "cos")
+    (out, stats)
+  }
+}

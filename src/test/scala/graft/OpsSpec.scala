@@ -432,6 +432,76 @@ class OpsSpec extends SparkSpec {
       s"expected pruning on a tight corpus, but all ${lists.length} lists survive")
   }
 
+  test("PQ certified search == brute force on sf0.001; codes deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = scratch("pqidx")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, dim)
+    graft.ops.PqIndex.build(spark, dir)
+    // several query points, incl. the diffuse corpus's worst case
+    for (qid <- Seq(0L, 3L, 17L, 111L)) {
+      val q = emb.where(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val got = graft.ops.PqIndex.topK(spark, dir, q, 10, excludeId = Some(qid))
+        .as[(Long, Double)].collect().toSeq
+      val want = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+          excludeId = Some(qid))
+        .as[(Long, Double)].collect().toSeq
+      assert(got == want, s"query $qid")
+    }
+    // deterministic re-encode: a second build derives bit-identical codes
+    val dir2 = scratch("pqidx2")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir2, dim)
+    graft.ops.PqIndex.build(spark, dir2)
+    def codes(d: String) = spark.read.parquet(s"$d/pq/codes")
+      .select("id", "code", "err").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(codes(dir) == codes(dir2))
+    val p = graft.ops.PqIndex.readParams(spark, dir)
+    assert(p.dim == dim && p.m == 8 && p.ks == 256)
+  }
+
+  test("PQ certification rescores a fraction of a tightly clustered corpus") {
+    // same 8-tight-cluster corpus as the IVF pruning test: the ADC
+    // interval should clear most candidates without touching vectors
+    val rows = (0 until 400).map { i =>
+      val c = i % 8
+      val v = Array.fill(16)(0.001f * ((graft.util.Hashing.mix(9L, i * 31)
+        % 100 + 100) % 100))
+      v(c) = 10f + (i % 7) * 0.01f
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = scratch("pqidx-tight")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, 16, nlist = 8)
+    graft.ops.PqIndex.build(spark, dir, m = 4)
+    val q = rows(3)._2.toArray
+    val (got, stats) = graft.ops.PqIndex.topKWithStats(
+      spark, dir, q, 5, excludeId = Some(3L))
+    val want = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 5,
+        excludeId = Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.as[(Long, Double)].collect().toSeq == want)
+    assert(stats.rescored < 400,
+      s"expected PQ intervals to clear some candidates, stats=$stats")
+    assert(stats.rescored >= 5)
+    // degenerate vectors stay exact: a zero vector encodes with err=2.0
+    // (always rescored) and drags its list's minCos to <= 0, whose bound
+    // is 1.0 — the list is always scanned, so the convention cos=0 flows
+    // through the exact path
+    val weird = (rows.take(50) :+ (900L, Array.fill(16)(0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val dirW = scratch("pqidx-weird")
+    graft.ops.IvfIndex.build(weird, "vec_id", "embedding", dirW, 16, nlist = 4)
+    graft.ops.PqIndex.build(spark, dirW, m = 4)
+    val gotW = graft.ops.PqIndex.topK(spark, dirW, q, 8)
+      .as[(Long, Double)].collect().toSeq
+    val wantW = Similarity.bruteTopK(weird, "vec_id", "embedding", q, 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotW == wantW)
+  }
+
   test("topk_by equals sort-based top-k under (score desc, id asc), map-side combined") {
     import graft.functions.TopKBy.topk_by
     // duplicate scores across groups exercise the id tie-break; 8 input
