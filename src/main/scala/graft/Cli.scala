@@ -99,6 +99,55 @@ object StreamIndex {
   }
 }
 
+/** Index inspection (ops tooling):
+  *
+  *   spark-submit --class graft.IndexStats app.jar <indexDir>
+  *
+  * Prints the manifest summary, per-wave build metrics, on-disk bytes per
+  * component, and postings totals (one small aggregate over termstats —
+  * the posting blobs are never read).
+  */
+object IndexStats {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: IndexStats <indexDir>")
+    val dir = args(0)
+    val spark = CliSession.session("graft-index-stats")
+    try println(report(spark, dir))
+    finally spark.stop()
+  }
+
+  def report(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val m = ManifestIO.read(dir)
+    def bytesOf(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    }
+    val comps = Seq("segments", "norms", "docmeta", "termstats")
+      .map(c => c -> bytesOf(c))
+    val Seq(terms, postings) = spark.read
+      .parquet(s"${IndexBuilder.termstatsPath(dir)}")
+      .agg(count_distinct(col("term")), sum(col("tf")))
+      .head().toSeq.map(v => Option(v).fold(0L)(_.toString.toLong))
+    val segBytes = comps.head._2
+    val sb = new StringBuilder
+    sb ++= s"index $dir: format v${m.version}, tokenizer ${m.tokenizer}\n"
+    sb ++= f"  docs ${m.totalDocs}%,d  tokens ${m.totalTokens}%,d  " +
+      f"avgdl ${m.avgdl}%.1f  waves ${m.waves.size}"
+    if (m.lastStreamBatch >= 0) sb ++= s"  lastStreamBatch ${m.lastStreamBatch}"
+    sb ++= "\n"
+    sb ++= f"  terms ${terms}%,d  postings ${postings}%,d  " +
+      f"(${if (postings == 0) 0.0 else segBytes.toDouble / postings}%.2f segment bytes/posting)\n"
+    comps.foreach { case (c, b) => sb ++= f"  $c%-9s ${b / 1048576.0}%,.1f MiB\n" }
+    m.waves.foreach { w =>
+      sb ++= f"  wave ${w.wave}%3d: ${w.numDocs}%,d docs  ids [${w.minDocId},${w.maxDocId}]  " +
+        f"${w.docsPerSec}%,.0f docs/s  docmeta dirs ${w.docmetaWaveIds.mkString(",")}\n"
+    }
+    sb.result()
+  }
+}
+
 object QueryIndex {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: QueryIndex <indexDir> <mode> term... [flags]")

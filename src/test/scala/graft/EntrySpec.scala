@@ -15,6 +15,15 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("IndexStats report summarizes the cached index without reading blobs") {
+    val r = graft.IndexStats.report(spark,
+      IndexCache.full(spark, "/root/testdata/sf0.001"))
+    assert(r.contains("docs 500"), r)
+    assert(r.contains("wave   0:"), r)
+    assert(r.contains("postings"), r)
+    assert(r.contains("segments"), r)
+  }
+
   test("every query runs and is non-empty at sf0.001 (except known-empty)") {
     val mayBeEmpty = Set("q10_dedup_exact") // no exact dups at small sf — still 500 rows though
     SparkEntry.queries.foreach { case (name, fn) =>
