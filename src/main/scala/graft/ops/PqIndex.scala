@@ -100,7 +100,7 @@ object PqIndex {
     }
   }
 
-  private[ops] def normalize(v: IndexedSeq[Float], dim: Int): Option[Array[Float]] = {
+  private[graft] def normalize(v: IndexedSeq[Float], dim: Int): Option[Array[Float]] = {
     if (v == null || v.length != dim) return None
     var n2 = 0.0
     var i = 0
@@ -128,7 +128,7 @@ object PqIndex {
     * their previous position (stable code ids). Subspaces train
     * independently and concurrently.
     */
-  private[ops] def trainBooks(sample: Array[Array[Float]], dim: Int, m: Int,
+  private[graft] def trainBooks(sample: Array[Array[Float]], dim: Int, m: Int,
       ks: Int, iters: Int): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
@@ -180,7 +180,7 @@ object PqIndex {
     Array.tabulate(m)(done(_))
   }
 
-  private def encodeOne(vn: Option[Array[Float]], books: Array[Array[Array[Float]]],
+  private[graft] def encodeOne(vn: Option[Array[Float]], books: Array[Array[Array[Float]]],
       m: Int, dsub: Int): (Array[Byte], Double) = vn match {
     case None =>
       // zero / malformed vector: the widest possible interval forces exact

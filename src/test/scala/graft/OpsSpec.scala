@@ -432,6 +432,42 @@ class OpsSpec extends SparkSpec {
       s"expected pruning on a tight corpus, but all ${lists.length} lists survive")
   }
 
+  test("PQ interval soundness: |cos - est| <= err for seeded vectors (property)") {
+    // the core certification invariant, exercised driver-side with no
+    // Spark: random vectors (seeded, FIXTURES.md), books trained on a
+    // prefix, EVERY vector's ADC estimate against EVERY query must sit
+    // inside the stored interval
+    import graft.ops.PqIndex
+    val dim = 32; val m = 4; val dsub = dim / m
+    def vec(seed: Long, i: Int): Array[Float] = Array.tabulate(dim) { j =>
+      (graft.util.Hashing.mix(seed, i * 131 + j) % 1000).toFloat / 250f - 2f
+    }
+    val all = (0 until 300).map(i => vec(5L, i)).toArray
+    val sample = all.take(100).flatMap(v =>
+      PqIndex.normalize(v.toIndexedSeq, dim))
+    val books = PqIndex.trainBooks(sample, dim, m, ks = 16, iters = 5)
+    val encoded = all.map(v =>
+      PqIndex.encodeOne(PqIndex.normalize(v.toIndexedSeq, dim), books, m, dsub))
+    for (qi <- 0 until 20) {
+      val q = vec(77L, qi)
+      val qn = PqIndex.normalize(q.toIndexedSeq, dim).get
+      val adc = Array.tabulate(m) { s =>
+        books(s).map { c =>
+          var d = 0.0; var i = 0
+          while (i < dsub) { d += qn(s * dsub + i).toDouble * c(i); i += 1 }
+          d
+        }
+      }
+      all.indices.foreach { i =>
+        val (code, err) = encoded(i)
+        val est = code.zipWithIndex.map { case (b, s) => adc(s)(b & 0xff) }.sum
+        val exact = graft.ops.IvfIndex.cosineTo(q.toIndexedSeq, all(i))
+        assert(math.abs(exact - est) <= err + 1e-9,
+          s"q$qi v$i: exact=$exact est=$est err=$err")
+      }
+    }
+  }
+
   test("PQ certified search == brute force on sf0.001; codes deterministic") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = scratch("pqidx")
