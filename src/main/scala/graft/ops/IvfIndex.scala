@@ -185,7 +185,7 @@ object IvfIndex {
     * member<->centroid cosine — the assignment UDF emits both so the
     * per-list widest angle rides the same pass (one scan total).
     */
-  private def assignFrame(df: DataFrame, idCol: String, vecCol: String,
+  private[ops] def assignFrame(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Float]]): DataFrame = {
     val assign = udf { (v: Seq[Float]) =>
       if (v == null) (0, 0.0)

@@ -237,7 +237,14 @@ object PqIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(codebooksPath(dir))
     writeParams(spark, dir, PqParams(dim, m, ks, seed, iters))
-    val bbooks = spark.sparkContext.broadcast(books)
+    encodeWrite(data, dir, books, dim, m, splitsPerList, "overwrite")
+  }
+
+  private def encodeWrite(data: DataFrame, dir: String,
+      books: Array[Array[Array[Float]]], dim: Int, m: Int,
+      splitsPerList: Int, mode: String): Unit = {
+    val dsub = dim / m
+    val bbooks = data.sparkSession.sparkContext.broadcast(books)
     val enc = udf { (v: Seq[Float]) =>
       val (code, err) = encodeOne(
         normalize(if (v == null) null else v.toIndexedSeq, dim),
@@ -248,9 +255,36 @@ object PqIndex {
       .select(col("id"), col("e._1").as("code"), col("e._2").as("err"),
         col("list"))
       .repartition(col("list"), pmod(hash(col("id")), lit(splitsPerList)))
-      .write.mode("overwrite").partitionBy("list")
+      .write.mode(mode).partitionBy("list")
       .parquet(codesPath(dir))
   }
+
+  /** Encode an appended batch with the PERSISTED codebooks and append its
+    * codes — the sidecar's counterpart of [[IvfIndex.append]] (run both
+    * with the same batch; a codes row must exist for every vector or the
+    * code scan would silently skip the missing ones — [[verifyComplete]]
+    * checks). Codebooks never move, so existing codes stay valid, and
+    * EXACTNESS never depends on codebook quality (a drifted batch just
+    * encodes with larger `err`, i.e. more rescoring, never a wrong
+    * result). Single-writer discipline, like the IVF layout.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, dir: String,
+      splitsPerList: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val p = readParams(spark, dir)
+    val books = readCodebooks(spark, dir, p)
+    val cents = IvfIndex.readLists(spark, dir).map(_.centroid)
+    val assigned = IvfIndex.assignFrame(df, idCol, vecCol, cents)
+      .select(col("id"), col("vec"), col("list"))
+    encodeWrite(assigned, dir, books, p.dim, p.m, splitsPerList, "append")
+  }
+
+  /** True iff every indexed vector has a PQ code (the invariant [[topK]]
+    * relies on; two cheap count jobs — an ops check, not a per-query one).
+    */
+  def verifyComplete(spark: SparkSession, dir: String): Boolean =
+    IvfIndex.vectors(spark, dir).count() ==
+      spark.read.parquet(codesPath(dir)).count()
 
   /** Search stats for tests: how much work the certification avoided. */
   final case class SearchStats(rescored: Long, codesScanned: Long,

@@ -498,6 +498,32 @@ class OpsSpec extends SparkSpec {
     assert(p.dim == dim && p.m == 8 && p.ks == 256)
   }
 
+  test("PQ append keeps the certified search exact over the enlarged corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = scratch("pqidx-app")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val base = emb.where(col("vec_id") < 400)
+    val batch = emb.where(col("vec_id") >= 400)
+    graft.ops.IvfIndex.build(base, "vec_id", "embedding", dir, dim)
+    graft.ops.PqIndex.build(spark, dir)
+    graft.ops.IvfIndex.append(batch, "vec_id", "embedding", dir)
+    // a stale sidecar is detectable before it can cost recall...
+    assert(!graft.ops.PqIndex.verifyComplete(spark, dir))
+    graft.ops.PqIndex.append(batch, "vec_id", "embedding", dir)
+    assert(graft.ops.PqIndex.verifyComplete(spark, dir))
+    // ...and the appended rows are reachable and exactly ranked
+    for (qid <- Seq(2L, 450L)) {
+      val q = emb.where(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val got = graft.ops.PqIndex.topK(spark, dir, q, 10, excludeId = Some(qid))
+        .as[(Long, Double)].collect().toSeq
+      val want = Similarity.bruteTopK(emb, "vec_id", "embedding", q, 10,
+          excludeId = Some(qid))
+        .as[(Long, Double)].collect().toSeq
+      assert(got == want, s"query $qid")
+    }
+  }
+
   test("PQ certification rescores a fraction of a tightly clustered corpus") {
     // same 8-tight-cluster corpus as the IVF pruning test: the ADC
     // interval should clear most candidates without touching vectors
