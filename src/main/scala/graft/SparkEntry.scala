@@ -228,6 +228,17 @@ object SparkEntry {
       val pairs = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.9)
       Dedup.clusters(docs.select("doc_id"), "doc_id", pairs)
     }),
+    // benchmark decontamination: docs hashing to the probe stratum play the
+    // eval set; report every corpus doc sharing >= 2 distinct 4-gram
+    // shingles with a probe doc (broadcast probe join, Dedup.contamination)
+    "q34_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.contamination(
+        docs.where(col("doc_id") % 31 =!= 0),
+        docs.where(col("doc_id") % 31 === 0),
+        "doc_id", "text", n = 4, minShared = 2)
+        .select(col("corpus_id"), col("probe_id"), col("shared"))
+    }),
     // ---- embeddings ------------------------------------------------------
     "q14_embed_neardup" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -405,6 +416,20 @@ object SparkEntry {
   private val jaccardOracleSql: String =
     s"WITH $jaccardPairsCtes SELECT a, b, jac FROM jp"
 
+  /** q34: the same tokenizer/n-gram construction as the jaccard CTEs but
+    * with 4-gram shingles and a corpus/probe split on the id hash.
+    */
+  private val decontaminateOracleSql: String =
+    "WITH t0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), " +
+      "'[^a-z0-9]+'), x -> x <> '') AS arr FROM documents), " +
+      "ti AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 3)) AS i FROM t0), " +
+      "sh AS (SELECT DISTINCT doc_id, " +
+      "arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS s FROM ti) " +
+      "SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id, count(*) AS shared " +
+      "FROM sh c JOIN sh p ON c.s = p.s " +
+      "WHERE c.doc_id % 31 <> 0 AND p.doc_id % 31 = 0 " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2"
+
   /** BM25 top-10 for ('spark','vector','dup') — oracle for q06 and the base
     * relation q24 resolves through the forward map.
     */
@@ -509,6 +534,7 @@ object SparkEntry {
     "q16_ann_lsh" -> bruteAnnOracleSql,
     "q25_ann_ivf" -> bruteAnnOracleSql,
     "q33_ann_pq" -> bruteAnnOracleSql,
+    "q34_decontaminate" -> decontaminateOracleSql,
     // brute-force per-query top-10 over the batch (vec_id % 37 = 0), ranked
     // by the shared (rounded cos DESC, id ASC) order — a hard oracle for
     // the whole batched quantize->probe->certify->rescore path

@@ -123,6 +123,35 @@ object Dedup {
     materializeAndRelease(out, Seq(sh), stagingDir)
   }
 
+  /** Benchmark decontamination: for every (corpus doc, probe doc) pair
+    * sharing at least `minShared` DISTINCT n-gram shingles, the shared
+    * count — the "is the eval set in the training corpus?" relation
+    * (n-gram overlap is the standard published check; 8-13 grams in
+    * production, smaller n on tiny test corpora).
+    *
+    * Scale shape: the probe (benchmark) side is small by construction, so
+    * its exploded shingle table BROADCASTS and the corpus is touched by
+    * exactly one narrow scan -> broadcast join -> partial-agg count. No
+    * self-join, no shuffle of corpus shingles, no corpus-side distinct
+    * beyond the per-doc `array_distinct` inside the shingle UDF. Set
+    * `broadcastProbe = false` for probe sets beyond broadcast size (plain
+    * shuffle join on the shingle key; AQE re-plans either way).
+    */
+  def contamination(corpus: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minShared: Long = 1L,
+      broadcastProbe: Boolean = true): DataFrame = {
+    require(n >= 1 && minShared >= 1)
+    def sh(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(array_distinct(shingleCol(col(textCol), n))).as("s"))
+    val ps0 = sh(probe, "probe_id")
+    val ps = if (broadcastProbe) broadcast(ps0) else ps0
+    sh(corpus, "corpus_id").join(ps, "s")
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** MinHash signature of a shingle set: k independent permutations
     * simulated by seeded splitmix64 re-hash; deterministic across the
     * cluster (FIXTURES.md: no unseeded RNG).

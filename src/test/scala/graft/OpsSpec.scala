@@ -91,6 +91,36 @@ class OpsSpec extends SparkSpec {
     assert(coldSalts == Seq(0), "cold bucket must stay a single group")
   }
 
+  test("contamination flags planted eval-set leaks with exact shared counts") {
+    // probe = docs 5/6/7; their planted copies 200/201 (exact) and 202
+    // (first-word edit) sit in the corpus — the decontamination relation
+    // must surface exactly those, with the full 4-gram shingle counts
+    val probe = planted.where(col("doc_id").isin(5L, 6L, 7L))
+    val corpus = planted.where(col("doc_id") >= 190)
+    val got = Dedup.contamination(corpus, probe, "doc_id", "text",
+        n = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // driver-side oracle over the same shingle definition
+    val texts = planted.as[(Long, String)].collect().toMap
+    def shs(id: Long): Set[String] = {
+      val t = graft.text.Tokenize.tokenizeScala(texts(id))
+      (0 to t.length - 4).map(i => t.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val want = (for {
+      c <- texts.keys if c >= 190
+      p <- Seq(5L, 6L, 7L)
+      n = (shs(c) & shs(p)).size if n >= 2
+    } yield (c, p, n.toLong)).toSet
+    assert(got == want, s"got=$got want=$want")
+    // the planted leaks are all present
+    assert(Set(200L, 201L, 202L).subsetOf(got.map(_._1)))
+    // non-broadcast path is the same relation
+    val got2 = Dedup.contamination(corpus, probe, "doc_id", "text",
+        n = 4, minShared = 2, broadcastProbe = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == got)
+  }
+
   test("clusters: transitive components map to min id; singletons to themselves") {
     val nodes = (0L to 9L).toSeq.toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L)).toDF("a", "b")
