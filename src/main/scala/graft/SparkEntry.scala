@@ -356,6 +356,12 @@ object SparkEntry {
       StreamingOps.windowedEventCountsIncremental(s, s"$dir/events.parquet")),
     "q23_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.batch(s.read.parquet(s"$dir/events.parquet")).toDF()),
+    // streaming sessionization drained via a far-future sentinel batch:
+    // flatMapGroupsWithState + EventTimeTimeout must converge to the SAME
+    // session relation as the batch window program (q23's oracle verbatim)
+    "q35_stream_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sessionizeComplete(
+        s, s"$dir/events.parquet")),
     // ---- doc resolution: query result -> forward map (url/key) -----------
     "q24_resolve" -> ((s, dir) => {
       val top = bm25Rounded(s, dir, Seq("spark", "vector", "dup"), 10)
@@ -415,6 +421,19 @@ object SparkEntry {
     */
   private val jaccardOracleSql: String =
     s"WITH $jaccardPairsCtes SELECT a, b, jac FROM jp"
+
+  /** Gap-based sessionization as a lag/cumsum window program — the oracle
+    * for BOTH the batch operator (q23) and the drained streaming path
+    * (q35), which must produce the identical session relation.
+    */
+  private val sessionizeOracleSql: String =
+    "WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events), " +
+      "l AS (SELECT user_id, s, lag(s) OVER (PARTITION BY user_id ORDER BY s) AS prev FROM e), " +
+      "b AS (SELECT user_id, s, CASE WHEN prev IS NULL OR s - prev > 1800 THEN 1 ELSE 0 END AS brk FROM l), " +
+      "sess AS (SELECT user_id, s, sum(brk) OVER (PARTITION BY user_id ORDER BY s " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM b) " +
+      "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, CAST(max(s) - min(s) AS BIGINT) AS duration_sec " +
+      "FROM sess GROUP BY user_id, sid"
 
   /** q34: the same tokenizer/n-gram construction as the jaccard CTEs but
     * with 4-gram shingles and a corpus/probe split on the id hash.
@@ -616,14 +635,9 @@ object SparkEntry {
     "q22_stream_window" ->
       ("SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws, event_type, " +
         "count(*) AS n, round(sum(value), 4) AS total FROM events GROUP BY 1, 2"),
-    "q23_sessionize" ->
-      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events), " +
-        "l AS (SELECT user_id, s, lag(s) OVER (PARTITION BY user_id ORDER BY s) AS prev FROM e), " +
-        "b AS (SELECT user_id, s, CASE WHEN prev IS NULL OR s - prev > 1800 THEN 1 ELSE 0 END AS brk FROM l), " +
-        "sess AS (SELECT user_id, s, sum(brk) OVER (PARTITION BY user_id ORDER BY s " +
-        "ROWS UNBOUNDED PRECEDING) AS sid FROM b) " +
-        "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, CAST(max(s) - min(s) AS BIGINT) AS duration_sec " +
-        "FROM sess GROUP BY user_id, sid"),
+    "q23_sessionize" -> sessionizeOracleSql,
+    // the streaming path must converge to the identical session relation
+    "q35_stream_sessionize" -> sessionizeOracleSql,
     "q24_resolve" ->
       (s"WITH base AS ($bm25OracleSql) " +
         "SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, score FROM base"),

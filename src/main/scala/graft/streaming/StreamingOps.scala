@@ -233,6 +233,68 @@ object StreamingOps {
     }.start()
   }
 
+  /** Streaming sessionization drained to COMPLETENESS — equals the batch
+    * sessionization ([[graft.ops.Sessionize.batch]]) EXACTLY, closing the
+    * gap the raw streaming operator necessarily leaves (the event-time
+    * watermark can never pass every user's final `last + gap`, so final
+    * sessions stay open). The drain: a single sentinel event from the
+    * reserved user id -1, timestamped far past every possible timeout,
+    * arrives as a SECOND micro-batch; its watermark advance fires every
+    * real session's event-time timeout in the follow-up batch, and the
+    * sentinel's own still-open session is the only state left (filtered
+    * here, reserved-id contract). Emitted sessions land in an
+    * executor-written append-only parquet log (the q31 shape — append
+    * mode emits each closed session exactly once, so the log is read back
+    * raw and a double-emission bug would surface as duplicate rows).
+    */
+  def sessionizeComplete(spark: SparkSession, eventsPath: String,
+      gapSec: Long = graft.ops.Sessionize.DefaultGapSec): DataFrame = {
+    val src = spark.read.parquet(eventsPath)
+    val schema = src.schema
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcDir = new org.apache.hadoop.fs.Path(
+      graft.util.Staging.newStagedDir(spark, "stream-sess-src"))
+    val fs = srcDir.getFileSystem(conf)
+    fs.mkdirs(srcDir)
+    // two single-file drops with increasing mtimes = two in-order batches
+    def stageOne(df: DataFrame, name: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(
+        graft.util.Staging.newStagedDir(spark, "stream-sess-tmp"))
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(srcDir, name))
+      fs.delete(tmp, true)
+    }
+    stageOne(src, "ev00.parquet")
+    Thread.sleep(5)
+    stageOne(src.limit(1)
+      .withColumn("user_id", lit(-1L).cast(schema("user_id").dataType))
+      .withColumn("ts", lit("2100-01-01 00:00:00").cast(schema("ts").dataType)),
+      "ev01.parquet")
+    val logDir = graft.util.Staging.newStagedDir(spark, "stream-sess")
+    val outCols = Seq("user_id", "sid", "n_events", "duration_sec")
+    spark.range(0).selectExpr("id AS user_id", "id AS sid",
+        "id AS n_events", "id AS duration_sec", "id AS batch_id")
+      .limit(0).write.mode("overwrite").parquet(logDir)
+    withoutCheckpointChecksums(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val sess = graft.ops.Sessionize.streaming(stream, gapSec).toDF()
+      val q = sess.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty)
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(logDir): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(logDir)
+      .where(col("user_id") >= 0)
+      .select(outCols.map(col): _*)
+  }
+
   /** One micro-batch of pages-shaped rows into the index, EXACTLY-ONCE
     * under foreachBatch's at-least-once replay: docIds are assigned from
     * the committed manifest's `nextDocBase`, and the wave commit stamps

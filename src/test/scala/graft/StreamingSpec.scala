@@ -215,6 +215,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("sessionizeComplete drains every final session and equals batch exactly") {
+    import graft.ops.Sessionize
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val batchSessions = Sessionize.batch(spark.read.parquet(path))
+      .collect().toSet
+    val streamed = StreamingOps.sessionizeComplete(spark, path)
+      .as[graft.ops.SessionOut].collect().toSeq
+    assert(streamed.length == streamed.toSet.size,
+      "append-mode log must emit each session exactly once")
+    assert(streamed.toSet == batchSessions)
+    assert(streamed.nonEmpty)
+  }
+
   test("pages-stream ingest equals batch per term and replays are exactly-once") {
     val pages = (0 until 120).map { i =>
       (f"https://ex.com/p$i%03d", 1700000000000L + i * 1000L,
