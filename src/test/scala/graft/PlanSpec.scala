@@ -120,6 +120,20 @@ class PlanSpec extends SparkSpec {
     assert(!rs.contains("text"), rs)
   }
 
+  test("contamination plans the probe side as a broadcast join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.Dedup.contamination(
+        docs.where(col("doc_id") % 31 =!= 0),
+        docs.where(col("doc_id") % 31 === 0),
+        "doc_id", "text", n = 4, minShared = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // corpus side reads only id + text
+    val rs = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!rs.contains("lang"), rs)
+  }
+
   test("packShards never plans a single-partition global window") {
     // the operator materializes via staging, so assert on the building
     // blocks instead: the per-partition totals job is the only shuffle-free
