@@ -66,10 +66,17 @@ final class TopKHeap(val k: Int) {
   *
   * Null scores/ids are skipped (they cannot rank). Determinism: the
   * (score, id) order is total, so the result is input-order independent.
+  *
+  * Input typing: the buffer stores primitive doubles/longs, so the inputs
+  * are declared (DOUBLE, BIGINT) with implicit casts — a SQL caller
+  * passing an INT score gets the analyzer's numeric widening, and a
+  * non-castable input (e.g. a STRING id) fails at ANALYSIS time instead
+  * of as an executor-side ClassCastException (round-6 ADVICE item 3).
   */
 case class TopKBy(scoreExpr: Expression, idExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKHeap]
+  with org.apache.spark.sql.graftbridge.ScoreIdInputTypes {
 
   require(k >= 1, s"topk_by needs k >= 1 (got $k)")
 

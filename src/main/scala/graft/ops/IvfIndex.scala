@@ -419,10 +419,15 @@ object IvfIndex {
     *    driver-broadcast list metadata (`nlist` rows): a UDF emits, per
     *    query, every list's [[listBound]] plus a top-`nprobe0` probe mark;
     *  - candidate generation is a partition-pruned scan of the UNION of
-    *    probed lists, broadcast-joined to the (qid, list, qvec) probe table
-    *    on `list` — each index row is evaluated only for the queries that
-    *    probe its list (for batches beyond broadcast size the same plan
-    *    runs as a shuffle join on `list`, identical semantics);
+    *    probed lists, joined to the (qid, list, qvec) probe table on
+    *    `list` — each index row is evaluated only for the queries that
+    *    probe its list. `broadcastProbes = true` (the default) hints the
+    *    probe side broadcast — right for interactive batches, where the
+    *    probe table is (queries x probed lists) rows; pass `false` for
+    *    oversized query batches and the same plan runs as a plain join on
+    *    `list` (AQE picks the strategy from the real sizes), identical
+    *    semantics — an explicit hint would force the broadcast regardless
+    *    of size and OOM executors instead of degrading;
     *  - per-query selection runs through [[graft.functions.TopKBy]], a
     *    bounded-heap TypedImperativeAggregate that pre-reduces map-side to
     *    at most k rows per (partition, query) before the shuffle — no
@@ -434,16 +439,38 @@ object IvfIndex {
     *    exactly `probe1 ∪ {lists passing that bound}` and the set is closed
     *    (adding rows can only RAISE a query's k-th rounded score). Queries
     *    with fewer than k round-1 candidates get kth = -Inf, which forces
-    *    their full list sweep.
+    *    their full list sweep — INCLUDING queries with ZERO round-1
+    *    candidates (empty probed lists, or only the excluded self row):
+    *    the round-1 aggregate has no group for those qids, so kth derives
+    *    from a LEFT join of the aggregate onto the batch's distinct qids
+    *    with missing kth coalesced to -Inf, exactly the contract the
+    *    single-query [[topK]] honors (an inner join here silently dropped
+    *    such queries from the output — round-6 fix, ADVICE item 1).
     *
     * The (batch x k)-sized result is materialized through the shared
     * staging root ([[graft.util.Staging]], reclaimed on the end-of-run
     * drain) so the probe/meta caches release immediately instead of living
     * for the consumer's lifetime. Null/malformed query vectors are dropped.
     */
+  /** The batched candidate join (scaladoc of [[topKBatch]], stage 2): a
+    * partition-pruned scan of the probed lists' union joined to the probe
+    * table on `list`. Factored out so tests can assert the plan under both
+    * `broadcastProbes` settings.
+    */
+  private[graft] def batchCandidates(spark: SparkSession, dir: String,
+      probes: DataFrame, broadcastProbes: Boolean): DataFrame = {
+    // bounded driver fan-in: at most nlist distinct list ids
+    val ls = probes.select("list").distinct().collect().map(_.getInt(0)).toSeq
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    spark.read.parquet(dataPath(dir))
+      .where(col("list").isin(ls: _*)) // partition pruning, as candidatesFor
+      .select(col("id"), col("vec"), col("list"))
+      .join(probeSide, "list")
+  }
+
   def topKBatch(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, vecCol: String, k: Int, excludeSelf: Boolean = true,
-      nprobe0: Int = 4): DataFrame = {
+      nprobe0: Int = 4, broadcastProbes: Boolean = true): DataFrame = {
     val lists = readLists(spark, dir)
     val cents = lists.map(_.centroid)
     val minCs = lists.map(_.minCos)
@@ -467,12 +494,7 @@ object IvfIndex {
         col("m._2").as("bound"), col("m._3").as("p1"))
       .persist(lvl)
     def ranked(probes: DataFrame): DataFrame = {
-      // bounded driver fan-in: at most nlist distinct list ids
-      val ls = probes.select("list").distinct().collect().map(_.getInt(0)).toSeq
-      val cand = spark.read.parquet(dataPath(dir))
-        .where(col("list").isin(ls: _*)) // partition pruning, as candidatesFor
-        .select(col("id"), col("vec"), col("list"))
-        .join(broadcast(probes), "list")
+      val cand = batchCandidates(spark, dir, probes, broadcastProbes)
       val base = if (excludeSelf) cand.where(col("id") =!= col("qid")) else cand
       base.select(col("qid"),
           round(cosine_sim(col("vec"), col("qvec")), 4).as("cos"), col("id"))
@@ -481,11 +503,18 @@ object IvfIndex {
     }
     val probe1 = qmeta.where(col("p1")).select("qid", "qvec", "list")
     // batch-sized (one row per query) and referenced by BOTH the probe-set
-    // collect and the final write — persisted so round 1 runs once
-    val kth1 = ranked(probe1)
+    // collect and the final write — persisted so round 1 runs once. LEFT
+    // join onto the batch's distinct qids: a query with zero round-1
+    // candidates has no aggregate group, and must sweep all lists
+    // (kth = -Inf), not vanish from the output (scaladoc; ADVICE item 1)
+    val kth1 = qmeta.select("qid").distinct()
+      .join(ranked(probe1)
+          .select(col("qid"),
+            when(size(col("tk")) < k, lit(Double.NegativeInfinity))
+              .otherwise(element_at(col("tk"), k).getField("score")).as("kth")),
+        Seq("qid"), "left")
       .select(col("qid"),
-        when(size(col("tk")) < k, lit(Double.NegativeInfinity))
-          .otherwise(element_at(col("tk"), k).getField("score")).as("kth"))
+        coalesce(col("kth"), lit(Double.NegativeInfinity)).as("kth"))
       .persist(lvl)
     val probe2 = qmeta.where(!col("p1"))
       .join(kth1, Seq("qid"))

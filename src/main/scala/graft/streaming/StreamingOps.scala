@@ -242,10 +242,21 @@ object StreamingOps {
     * arrives as a SECOND micro-batch; its watermark advance fires every
     * real session's event-time timeout in the follow-up batch, and the
     * sentinel's own still-open session is the only state left (filtered
-    * here, reserved-id contract). Emitted sessions land in an
-    * executor-written append-only parquet log (the q31 shape — append
-    * mode emits each closed session exactly once, so the log is read back
-    * raw and a double-emission bug would surface as duplicate rows).
+    * here; the reserved-id contract is ENFORCED — an input holding
+    * negative user ids fails loudly instead of silently losing those
+    * sessions). Emitted sessions land in an executor-written append-only
+    * parquet log (the q31 shape — append mode emits each closed session
+    * exactly once, so the log is read back raw and a double-emission bug
+    * would surface as duplicate rows).
+    *
+    * Staging shape (round-6 fix, r5 verdict #4): micro-batch 0 is the
+    * corpus staged at its ORIGINAL partitioning — a distributed write
+    * whose files all carry one mtime, admitted in a single trigger via
+    * `maxFilesPerTrigger = nFiles` (every real event must share batch 0:
+    * events are not time-ordered across files, so a split batch could
+    * advance the watermark past a straddling user's still-open session).
+    * Only the 1-row sentinel is ever written single-task; the old shape
+    * funneled the WHOLE corpus through one `coalesce(1)` write task.
     */
   def sessionizeComplete(spark: SparkSession, eventsPath: String,
       gapSec: Long = graft.ops.Sessionize.DefaultGapSec): DataFrame = {
@@ -256,22 +267,45 @@ object StreamingOps {
       graft.util.Staging.newStagedDir(spark, "stream-sess-src"))
     val fs = srcDir.getFileSystem(conf)
     fs.mkdirs(srcDir)
-    // two single-file drops with increasing mtimes = two in-order batches
-    def stageOne(df: DataFrame, name: String): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(
-        graft.util.Staging.newStagedDir(spark, "stream-sess-tmp"))
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-      fs.rename(part, new org.apache.hadoop.fs.Path(srcDir, name))
-      fs.delete(tmp, true)
+    val now = System.currentTimeMillis()
+    // batch 0: distributed staging write; the reserved-id check rides the
+    // same job as an observed metric (no extra scan — ADVICE item 4)
+    val obs = org.apache.spark.sql.Observation()
+    val tmp = new org.apache.hadoop.fs.Path(
+      graft.util.Staging.newStagedDir(spark, "stream-sess-tmp"))
+    src.observe(obs, min(col("user_id").cast("long")).as("min_uid"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val minUid = obs.get("min_uid")
+    require(minUid == null || minUid.asInstanceOf[Long] >= 0L,
+      s"sessionizeComplete reserves user_id -1 for the drain sentinel, but " +
+        s"the input holds user_id $minUid — remap negative ids first")
+    // every data file gets ONE mtime, the sentinel a strictly later one:
+    // the file source orders by mtime, so ties could smuggle the sentinel
+    // into batch 0 (explicit setTimes, not write order, carries the proof)
+    val dataFiles = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    dataFiles.zipWithIndex.foreach { case (p, i) =>
+      val dst = new org.apache.hadoop.fs.Path(srcDir, f"ev0-$i%05d.parquet")
+      if (!fs.rename(p, dst)) sys.error(s"staging rename failed: $p")
+      fs.setTimes(dst, now - 60000L, -1L)
     }
-    stageOne(src, "ev00.parquet")
-    Thread.sleep(5)
+    fs.delete(tmp, true)
+    // batch 1: the 1-row sentinel — the only single-task write
+    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val t = new org.apache.hadoop.fs.Path(
+        graft.util.Staging.newStagedDir(spark, "stream-sess-tmp"))
+      df.coalesce(1).write.mode("overwrite").parquet(t.toString)
+      val part = fs.listStatus(t)
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dst = new org.apache.hadoop.fs.Path(srcDir, name)
+      if (!fs.rename(part, dst)) sys.error(s"staging rename failed: $part")
+      fs.setTimes(dst, mtime, -1L)
+      fs.delete(t, true)
+    }
     stageOne(src.limit(1)
       .withColumn("user_id", lit(-1L).cast(schema("user_id").dataType))
       .withColumn("ts", lit("2100-01-01 00:00:00").cast(schema("ts").dataType)),
-      "ev01.parquet")
+      "ev1-sentinel.parquet", now)
     val logDir = graft.util.Staging.newStagedDir(spark, "stream-sess")
     val outCols = Seq("user_id", "sid", "n_events", "duration_sec")
     spark.range(0).selectExpr("id AS user_id", "id AS sid",
@@ -279,7 +313,8 @@ object StreamingOps {
       .limit(0).write.mode("overwrite").parquet(logDir)
     withoutCheckpointChecksums(spark) {
       val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .option("maxFilesPerTrigger", math.max(1, dataFiles.length).toString)
+        .parquet(srcDir.toString)
       val sess = graft.ops.Sessionize.streaming(stream, gapSec).toDF()
       val q = sess.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -13,3 +13,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `ExpectsInputTypes.inputTypes` is typed with the `private[sql]`
+  * AbstractDataType, so an expression OUTSIDE org.apache.spark.sql cannot
+  * override it directly; this trait pins (DOUBLE, BIGINT) inputs with
+  * implicit casts for graft's (score, id) aggregates — misuse (e.g. a
+  * STRING id) fails at analysis instead of executor-side.
+  */
+trait ScoreIdInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType,
+      org.apache.spark.sql.types.LongType)
+}

@@ -539,8 +539,19 @@ class OpsSpec extends SparkSpec {
     graft.ops.IvfIndex.append(batch, "vec_id", "embedding", dir)
     // a stale sidecar is detectable before it can cost recall...
     assert(!graft.ops.PqIndex.verifyComplete(spark, dir))
+    // ...and the search REFUSES to open it: an IVF append without the
+    // matching PQ append must fail loudly, not silently shrink the
+    // candidate set (round-6 fix, r5 verdict #5)
+    val q0 = emb.where(col("vec_id") === 2).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.PqIndex.topK(spark, dir, q0, 10)
+    }
+    assert(ex.getMessage.contains("incomplete"), ex.getMessage)
     graft.ops.PqIndex.append(batch, "vec_id", "embedding", dir)
     assert(graft.ops.PqIndex.verifyComplete(spark, dir))
+    // the completeness count folds the batch in and matches the layout
+    assert(graft.ops.PqIndex.readParams(spark, dir).rows == emb.count())
     // ...and the appended rows are reachable and exactly ranked
     for (qid <- Seq(2L, 450L)) {
       val q = emb.where(col("vec_id") === qid).select("embedding")
@@ -682,6 +693,57 @@ class OpsSpec extends SparkSpec {
           (id, r4(graft.ops.IvfIndex.cosineTo(v.toIndexedSeq, qv))) }
         .sortBy(r => (-r._2, r._1)).take(5).toSeq
       assert(got(q) == want, s"query $q")
+    }
+  }
+
+  test("topKBatch: a query with zero round-1 candidates still sweeps all lists") {
+    // singleton-list geometry: one vector on its own axis, the rest in a
+    // tight cluster around another — Lloyd separates them, so the lone
+    // vector's home list holds ONLY its (excluded) self row and round 1
+    // yields NO candidates for it. Before the round-6 fix the qid vanished
+    // from the output (ADVICE item 1); the contract is a full list sweep
+    // (kth = -Inf), matching single-query topK.
+    val rows = (0L, Seq(10f, 0f, 0f, 0f)) +: (1 until 9).map { i =>
+      (i.toLong, Seq(0.01f * i, 10f, 0.02f * (i % 3), 0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = scratch("ivfidx-batch-empty1")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", dir, 4, nlist = 2)
+    // precondition of the scenario, asserted so a geometry drift fails loudly
+    val byList = graft.ops.IvfIndex.vectors(spark, dir)
+      .groupBy("list").agg(collect_set("id").as("ids"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(byList.values.exists(_.toSet == Set(0L)),
+      s"geometry must isolate id 0 in its own list, got $byList")
+    val queries = emb.where(col("vec_id") === 0L)
+    val got = graft.ops.IvfIndex
+      .topKBatch(spark, dir, queries, "vec_id", "embedding", 3, nprobe0 = 1)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(r => (-r._3, r._2))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qv = rows.head._2.toArray
+    val want = rows.tail
+      .map { case (id, v) =>
+        (0L, id, r4(graft.ops.IvfIndex.cosineTo(v.toIndexedSeq, qv))) }
+      .sortBy(r => (-r._3, r._2)).take(3)
+    assert(got == want)
+  }
+
+  test("topk_by input typing: numeric inputs widen, non-castable fail analysis") {
+    val (fid, info, builder) = graft.functions.TopKBy.registration
+    spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
+    Seq((1, 5, 10), (1, 7, 11), (2, 3, 4)).toDF("g", "s", "id")
+      .createOrReplaceTempView("tkb_typed")
+    // INT score + INT id: implicit widening, not an executor-side CCE
+    val got = spark.sql(
+      "SELECT g, transform(topk_by(s, id, 1), x -> x.id) AS ids " +
+        "FROM tkb_typed GROUP BY g")
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got(1) == Seq(11L) && got(2) == Seq(4L))
+    // a non-castable id (array) must fail at ANALYSIS time
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT g, topk_by(s, array(id), 1) FROM tkb_typed GROUP BY g")
+        .collect()
     }
   }
 

@@ -100,6 +100,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: []"), plan)
   }
 
+  test("topKBatch probe join: broadcast by default, plain join when broadcastProbes=false") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val ivfDir = scratch("planspec-ivf-batch")
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", ivfDir, dim)
+    val probes = emb.limit(3)
+      .selectExpr("vec_id AS qid", "embedding AS qvec",
+        "CAST(pmod(vec_id, 4) AS INT) AS list")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill size-based auto-broadcast so the plans show ONLY the switch:
+      // true -> the explicit hint broadcasts; false -> a plain join (at
+      // real scale AQE re-plans it from actual sizes instead of OOMing on
+      // a forced broadcast of an oversized query batch)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = graft.ops.IvfIndex
+        .batchCandidates(spark, ivfDir, probes, broadcastProbes = true)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"), hinted)
+      val plain = graft.ops.IvfIndex
+        .batchCandidates(spark, ivfDir, probes, broadcastProbes = false)
+        .queryExecution.executedPlan.toString
+      assert(!plain.contains("BroadcastHashJoin"), plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("doc resolution pushes the id set into the docmeta scan (small results)") {
     val res = s.lookup("w3").limit(5)
     val plan = s.resolve(res).queryExecution.executedPlan.toString

@@ -228,6 +228,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("sessionizeComplete: multi-file batch 0 stays exact; negative ids fail loudly") {
+    import graft.ops.Sessionize
+    val path = "/root/testdata/sf0.001/events.parquet"
+    // round-6 staging shape: batch 0 keeps the source's partitioning (no
+    // whole-corpus coalesce(1)) — exactness must hold when the corpus
+    // spans MANY files admitted in one trigger
+    val multi = scratch("sess-multifile")
+    spark.read.parquet(path).repartition(5).write.mode("overwrite").parquet(multi)
+    val batchSessions = Sessionize.batch(spark.read.parquet(multi))
+      .collect().toSet
+    val streamed = StreamingOps.sessionizeComplete(spark, multi)
+      .as[graft.ops.SessionOut].collect().toSeq
+    assert(streamed.length == streamed.toSet.size)
+    assert(streamed.toSet == batchSessions)
+    // the reserved-id contract is ENFORCED (ADVICE item 4), not documented
+    val neg = scratch("sess-neguid")
+    spark.read.parquet(path).limit(50)
+      .withColumn("user_id", (col("user_id") * -1 - 1).cast(
+        spark.read.parquet(path).schema("user_id").dataType))
+      .write.mode("overwrite").parquet(neg)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.sessionizeComplete(spark, neg)
+    }
+    assert(ex.getMessage.contains("reserves user_id -1"), ex.getMessage)
+  }
+
   test("pages-stream ingest equals batch per term and replays are exactly-once") {
     val pages = (0 until 120).map { i =>
       (f"https://ex.com/p$i%03d", 1700000000000L + i * 1000L,
