@@ -110,6 +110,21 @@ object Bench {
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toLong
     val deadline = wall0 + budgetSec * 1000000000L
+    // host-concurrency probe (HostProbe scaladoc; r5 verdict #1): one
+    // reading at every section boundary so the artifact itself carries
+    // the host-health trace a reader needs to attribute slow sections —
+    // the r5 artifact's 0.781 scaling could only be attributed to the
+    // measured CPU-cap window out-of-band
+    HostProbe.anchor()
+    val probeTrace = scala.collection.mutable.ArrayBuffer.empty[(String, HostProbe.Reading)]
+    def probeAt(label: String): HostProbe.Reading = {
+      val r = HostProbe.measure()
+      probeTrace += ((label, r))
+      println(s"""{"host_probe":"$label","reading":${r.json}}""")
+      System.out.flush()
+      r
+    }
+    probeAt("start")
 
     val stale = foreignJvms()
     if (stale.nonEmpty) {
@@ -171,9 +186,11 @@ object Bench {
       genSec = ScalingProbe.prepareInput(scaleDocs, s"$scaleTmp/input",
         math.max(60L, budgetSec / 4))
       val a = ScalingProbe.runWithDeadline(scaleCores, scaleDocs,
-        math.min(5, scaleReps), scaleTmp, s"$scaleTmp/input", blockADeadline)
+        math.min(5, scaleReps), scaleTmp, s"$scaleTmp/input", blockADeadline,
+        gate = true)
       emitSection("scaling_block_a",
-        s""""completed_reps":${a.reps.size},"failed_reps":${a.failedReps}""")
+        s""""completed_reps":${a.reps.size},"failed_reps":${a.failedReps},""" +
+          s""""probe_wait_sec":${a.probeWaitSec}""")
       a
     } catch {
       case e: Throwable =>
@@ -181,6 +198,7 @@ object Bench {
         ScalingProbe.ScaleResult(Vector.empty, 0, budgetStop = false, 0.0)
     }
 
+    probeAt("after_block_a")
     var spark = session(cpus)
 
     // ---- 1. warm the index caches so query timings are query timings ------
@@ -204,6 +222,7 @@ object Bench {
     }
     emitSection("cache_builds",
       f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f,"cache_build_ivf_sec":$buildIvfSec%.3f,"cache_build_pq_sec":$buildPqSec%.3f,"stream_warm_sec":$streamWarmSec%.3f""")
+    probeAt("after_cache_builds")
 
     // ---- 2. per-query timings: min over interleaved passes ----------------
     // The host's slow phases are strictly ONE-SIDED (a run is clean or
@@ -249,19 +268,41 @@ object Bench {
     val total = results.map(_._2).sum
     emitSection("queries",
       f""""total_sec":$total%.3f,"queries":$qs,"query_passes":$rawPasses""")
+    probeAt("after_queries")
 
     // ---- 3. BM25 latency distribution -------------------------------------
+    // Noise defense (r5 verdict #6: the r5 artifact's p99 was 3,858 ms in
+    // a measured cap window vs 585 in rehearsal): every 5th rep is stamped
+    // with a quick probe reading, and alongside the raw p50/p99 the
+    // best CONTIGUOUS half-window's p50/p99 are published — under the
+    // host's multi-minute one-sided slow phases the best contiguous run
+    // is the clean estimate, and the probe stamps say whether the raw
+    // tail was the engine or the host.
     val searcher = new Searcher(spark, IndexCache.full(spark, sfDir))
     val termSets = Seq(
       Seq("spark", "vector", "dup"), Seq("merge", "sort"), Seq("dup"),
       Seq("window", "filter", "scan"), Seq("table", "query", "key"))
-    val lat = (0 until 30).map { i =>
+    val latStamps = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val latRaw = (0 until 30).map { i =>
+      if (i % 5 == 0)
+        latStamps += ((i, HostProbe.measure(windowMs = 500).capCores))
       val (_, sec) = time(searcher.bm25(termSets(i % termSets.size), 10).count())
       sec * 1000.0
-    }.sorted
-    val p50 = lat(lat.size / 2)
-    val p99 = lat(math.min(lat.size - 1, (lat.size * 99) / 100))
-    emitSection("bm25_latency", f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f""")
+    }
+    def pcts(xs: Seq[Double]): (Double, Double) = {
+      val s = xs.sorted
+      (s(s.size / 2), s(math.min(s.size - 1, (s.size * 99) / 100)))
+    }
+    val (p50, p99) = pcts(latRaw)
+    val half = latRaw.size / 2
+    val bestWin = latRaw.sliding(half).minBy(_.sum)
+    val (p50w, p99w) = pcts(bestWin)
+    val latJson =
+      f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f,""" +
+        f""""bm25_best_window_p50_ms":$p50w%.1f,"bm25_best_window_p99_ms":$p99w%.1f,""" +
+        s""""bm25_raw_ms":[${latRaw.map(v => f"$v%.0f").mkString(",")}],""" +
+        s""""bm25_probe_cap_cores":[${latStamps.map(s => f"""[${s._1},${s._2}%.1f]""").mkString(",")}]"""
+    emitSection("bm25_latency", latJson)
 
     // ---- 4. build throughput at the bench session's core count ------------
     // Same one-sided-noise defense as the query suite: two builds, keep the
@@ -282,6 +323,7 @@ object Bench {
     // children run: the scaling children should not share the box with a
     // fully committed local[32] heap they never benefit from
     System.gc()
+    probeAt("before_block_b")
 
     // ---- 5. scaling block B under the remaining window, then merge -------
     val scalingJson = try {
@@ -294,14 +336,26 @@ object Bench {
         else ScalingProbe.runWithDeadline(scaleCores, scaleDocs,
           scaleReps - blockA.reps.size - blockA.failedReps, scaleTmp,
           s"$scaleTmp/input", scaleDeadline,
-          repOffset = blockA.reps.size + blockA.failedReps)
+          repOffset = blockA.reps.size + blockA.failedReps, gate = true)
       val reps = blockA.reps ++ blockB.reps
       val failed = blockA.failedReps + blockB.failedReps
       val budgetStop = blockB.budgetStop
+      val repProbes = blockA.repProbes ++ blockB.repProbes
+      val waitSec = blockA.probeWaitSec + blockB.probeWaitSec
+      // the probe evidence rides the scaling JSON itself: every reading
+      // from both blocks, per-completed-rep before/after capCores, the
+      // gate threshold, and the total capped-window wait — a sub-0.8
+      // efficiency with sub-threshold cap_cores stamps is the HOST's
+      // number, and the artifact now says so by itself
+      val probeJson =
+        s""""probe_min_clean_cores":${HostProbe.minCleanCores},""" +
+          s""""probe_wait_sec":$waitSec,""" +
+          s""""rep_probe_cap_cores":[${repProbes.map(p => f"[${p._1}%.1f,${p._2}%.1f]").mkString(",")}],""" +
+          s""""host_probe":${HostProbe.jsonArray(blockA.probeReadings ++ blockB.probeReadings)}"""
       if (reps.isEmpty)
         f""""docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,"gen_sec":$genSec%.1f,""" +
           s""""completed_reps":0,"failed_reps":$failed,""" +
-          s""""budget_stop":$budgetStop,"efficiency":null"""
+          s""""budget_stop":$budgetStop,$probeJson,"efficiency":null"""
       else {
         val dpsLo = scaleDocs / reps.map(_(loC)).min
         val dpsHi = scaleDocs / reps.map(_(hiC)).min
@@ -313,6 +367,7 @@ object Bench {
           f""""docs_per_sec_lo":$dpsLo%.1f,"docs_per_sec_hi":$dpsHi%.1f,""" +
           s""""per_rep_efficiency":[${perRepEff.map(e => f"$e%.3f").mkString(",")}],""" +
           s""""kept_reps":[${keptReps.mkString(",")}],""" +
+          s"""$probeJson,""" +
           f""""efficiency_median_kept":$medKept%.3f,""" +
           f""""efficiency":$efficiency%.3f"""
       }
@@ -325,14 +380,19 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
     emitSection("scaling", scalingJson)
+    probeAt("end")
 
+    val traceJson = probeTrace
+      .map { case (l, r) => s"""{"section":"$l","reading":${r.json}}""" }
+      .mkString("[", ",", "]")
     val wallSec = (System.nanoTime() - wall0) / 1e9
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_passes":$rawPasses,"sf":"$sfDir",""" +
         f""""index_build":{"docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,"build_reps":$buildRepsJson,""" +
         f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f,"cache_build_ivf_sec":$buildIvfSec%.3f,"cache_build_pq_sec":$buildPqSec%.3f,"stream_warm_sec":$streamWarmSec%.3f},""" +
-        f""""bm25_p50_ms":$p50%.1f,"bm25_p99_ms":$p99%.1f,"stale_jvms":${stale.size},""" +
+        s"""$latJson,"stale_jvms":${stale.size},""" +
         f""""bench_wall_sec":$wallSec%.1f,"bench_budget_sec":$budgetSec,""" +
+        s""""host_probe_trace":$traceJson,""" +
         s""""scaling":{$scalingJson}}""")
   }
 }
