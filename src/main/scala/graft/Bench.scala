@@ -350,8 +350,8 @@ object Bench {
       val probeJson =
         s""""probe_min_clean_cores":${HostProbe.minCleanCores},""" +
           s""""probe_wait_sec":$waitSec,""" +
-          s""""rep_probe_cap_cores":[${repProbes.map(p => f"[${p._1}%.1f,${p._2}%.1f]").mkString(",")}],""" +
-          s""""host_probe":${HostProbe.jsonArray(blockA.probeReadings ++ blockB.probeReadings)}"""
+          s""""host_probe_t_eff_cap":${HostProbe.compactArray(blockA.probeReadings ++ blockB.probeReadings)},""" +
+          s""""rep_probe_cap_cores":[${repProbes.map(p => f"[${p._1}%.1f,${p._2}%.1f]").mkString(",")}]"""
       if (reps.isEmpty)
         f""""docs":$scaleDocs,"cores_lo":$loC,"cores_hi":$hiC,"gen_sec":$genSec%.1f,""" +
           s""""completed_reps":0,"failed_reps":$failed,""" +
@@ -382,17 +382,25 @@ object Bench {
     emitSection("scaling", scalingJson)
     probeAt("end")
 
+    // compact trace entries: ["label", t_sec, eff_cores, cap_cores] — the
+    // full readings were already printed live, one JSON line each
     val traceJson = probeTrace
-      .map { case (l, r) => s"""{"section":"$l","reading":${r.json}}""" }
+      .map { case (l, r) =>
+        f"""["$l",${r.atSec}%.0f,${r.effCores}%.1f,${r.capCores}%.1f]""" }
       .mkString("[", ",", "]")
     val wallSec = (System.nanoTime() - wall0) / 1e9
+    // field ORDER matters: the driver keeps the LAST ~2000 characters of
+    // stdout as the committed artifact tail, so the summary a reader needs
+    // most — bm25 latency with its noise defense, then the scaling section
+    // with the probe evidence and the efficiencies — goes at the END
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_passes":$rawPasses,"sf":"$sfDir",""" +
         f""""index_build":{"docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,"build_reps":$buildRepsJson,""" +
         f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f,"cache_build_ivf_sec":$buildIvfSec%.3f,"cache_build_pq_sec":$buildPqSec%.3f,"stream_warm_sec":$streamWarmSec%.3f},""" +
-        s"""$latJson,"stale_jvms":${stale.size},""" +
+        s""""stale_jvms":${stale.size},""" +
         f""""bench_wall_sec":$wallSec%.1f,"bench_budget_sec":$budgetSec,""" +
         s""""host_probe_trace":$traceJson,""" +
+        s"""$latJson,""" +
         s""""scaling":{$scalingJson}}""")
   }
 }

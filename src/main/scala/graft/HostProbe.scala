@@ -174,6 +174,16 @@ object HostProbe {
   def jsonArray(rs: Seq[Reading]): String =
     rs.map(_.json).mkString("[", ",", "]")
 
+  /** Compact `[t_sec, eff_cores, cap_cores]` triples for the FINAL bench
+    * line: the driver keeps only the last ~2000 characters of bench
+    * stdout as the committed artifact tail, so the scaling section's
+    * probe evidence must stay terse there — the full readings are
+    * printed live (one `{"host_probe":...}` line each) for the log.
+    */
+  def compactArray(rs: Seq[Reading]): String =
+    rs.map(r => f"[${r.atSec}%.0f,${r.effCores}%.1f,${r.capCores}%.1f]")
+      .mkString("[", ",", "]")
+
   def defaultThreads: Int =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_THREADS", "32").toInt
 
@@ -185,6 +195,22 @@ object HostProbe {
     */
   def minCleanCores: Double =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_MIN_CORES", "26").toDouble
+
+  /** The capCores leg of the gate — lower than [[minCleanCores]] because
+    * the floor can drift (Reading.capCores scaladoc) while real caps read
+    * 10-20: both legs must pass for a window to count as clean.
+    */
+  def minCleanCapCores: Double =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_MIN_CAP_CORES", "21").toDouble
+
+  /** The scaling gate's clean-window predicate: BOTH the within-window
+    * parallelism (effCores) and the floor-based capacity (capCores) read
+    * healthy. Dress-1 evidence (2026-08-18): effCores alone passed a
+    * transient 26+ reading whose capCores was 18.8 and the rep pair
+    * measured 0.54 efficiency — the conjunction would have held it.
+    */
+  def healthy(r: Reading): Boolean =
+    r.effCores >= minCleanCores && r.capCores >= minCleanCapCores
 
   /** Validation CLI: interleaves thread-based readings (this instrument)
     * with process-based readings (N single-thread child JVMs running the

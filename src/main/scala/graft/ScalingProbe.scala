@@ -292,16 +292,17 @@ object ScalingProbe {
         readings += before
         // capped-window wait (scaladoc): bounded, deadline-checked, and
         // blind to every timing — only the probe reading is consulted.
-        // The gate reads effCores, not capCores: capCores depends on the
-        // running single-thread floor, which JVM-local background threads
-        // can contaminate after Spark has run in this process, while
-        // effCores compares aggregate and single rates from the SAME
-        // window (measured 17.8-19.1 in a genuinely capped window vs
-        // 29-32 clean — well-separated around the 26 threshold)
-        while (gate && before.effCores < HostProbe.minCleanCores &&
+        // BOTH metrics must read healthy to start a rep: effCores alone
+        // let a rep through on a transient >=26 reading while capCores
+        // sat at 18.8, and the pair measured 0.54 (dress 1, 2026-08-18);
+        // capCores alone is too twitchy post-Spark (JVM-local threads can
+        // inflate the single-thread numerator against a floor pinned by
+        // the pre-Spark block-A minimum), hence its LOWER threshold —
+        // real caps read 10-20, so 21 still separates
+        while (gate && !HostProbe.healthy(before) &&
             waitedSec < maxWaitSec &&
             secsLeft(deadlineNanos) > estimate + waitStepSec + 120) {
-          println(f"""{"scale_probe_wait":$waitStepSec,"eff_cores":${before.effCores}%.1f,"cap_cores":${before.capCores}%.1f,"min_clean":${HostProbe.minCleanCores}%.1f,"waited_sec":$waitedSec}""")
+          println(f"""{"scale_probe_wait":$waitStepSec,"eff_cores":${before.effCores}%.1f,"cap_cores":${before.capCores}%.1f,"min_clean":${HostProbe.minCleanCores}%.1f,"min_cap":${HostProbe.minCleanCapCores}%.1f,"waited_sec":$waitedSec}""")
           Thread.sleep(waitStepSec * 1000)
           waitedSec += waitStepSec
           before = HostProbe.measure()
@@ -428,8 +429,8 @@ object ScalingProbe {
       val hi = cores.last
       val probeJson =
         s""""probe_wait_sec":${res.probeWaitSec},""" +
-          s""""rep_probe_cap_cores":[${res.repProbes.map(p => f"[${p._1}%.1f,${p._2}%.1f]").mkString(",")}],""" +
-          s""""host_probe":${HostProbe.jsonArray(res.probeReadings)}"""
+          s""""host_probe_t_eff_cap":${HostProbe.compactArray(res.probeReadings)},""" +
+          s""""rep_probe_cap_cores":[${res.repProbes.map(p => f"[${p._1}%.1f,${p._2}%.1f]").mkString(",")}]"""
       if (res.reps.isEmpty) {
         println(s"""{"docs":$docs,"completed_reps":0,"failed_reps":${res.failedReps},$probeJson,"efficiency":null}""")
       } else {

@@ -10,8 +10,10 @@ class HostProbeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val r = HostProbe.measure(threads = 4, windowMs = 400)
     assert(r.threads == 4)
     assert(r.effCores > 0.1, r.json)
-    // effCores can exceed the worker count only by measurement jitter
-    assert(r.effCores <= 4.5, r.json)
+    // effCores exceeds the worker count only when the single-thread
+    // samples caught a host stall the saturation window missed — bound
+    // at 2x the workers: beyond that the instrument itself is broken
+    assert(r.effCores <= 8.0, r.json)
     assert(r.singleMs > 0.0, r.json)
     // the running floor is the min over observed chunks, so the window's
     // own single-thread time can undercut it only within timer jitter
