@@ -395,7 +395,66 @@ object SparkEntry {
     // blocking: listBound-gated replication + per-list join). Oracle =
     // the exact all-pairs cosine relation WITHOUT q14's label restriction
     "q32_neardup_ivf" -> ((s, dir) =>
-      graft.ops.IvfIndex.pairs(s, IndexCache.ivf(s, dir), threshold = 0.4)))
+      graft.ops.IvfIndex.pairs(s, IndexCache.ivf(s, dir), threshold = 0.4)),
+    // ---- fulltext search surface: prefix / boolean / proximity / facets --
+    // trailing-wildcard term expansion over the sorted dictionary
+    // (StringStartsWith pushdown; per-segment docId dedup, no global
+    // distinct — PlanSpec asserts the pushed filter)
+    "q36_ii_prefix" -> ((s, dir) =>
+      IndexCache.searcher(s, dir).prefix("s")
+        .select(col("docId").as("doc_id"))),
+    // the boolean query language end-to-end: implicit AND, OR, NOT, a
+    // prefix leaf, and a phrase leaf in one parsed tree evaluated as a
+    // single codegen'd predicate over per-doc matched-leaf sets
+    "q37_ii_query" -> ((s, dir) =>
+      IndexCache.searcher(s, dir)
+        .query("(spark OR filt*) AND window AND NOT \"sort merge\"")
+        .select(col("docId").as("doc_id"))),
+    // positional proximity: spark within 3 token positions of merge,
+    // either order — two-pointer min-gap walk over index positions
+    "q38_ii_near" -> ((s, dir) =>
+      IndexCache.searcher(s, dir).near("spark", "merge", k = 3)
+        .select(col("docId").as("doc_id"))),
+    // facet counts over the spark AND merge result set, top-20 terms
+    "q39_ii_facets" -> ((s, dir) =>
+      IndexCache.searcher(s, dir).facets(Seq("spark", "merge"), n = 20)),
+    // ---- text pipeline: redaction / repetition / kwic / n-gram counts ----
+    // PII is synthesized deterministically from doc_id IN BOTH the engine
+    // and the oracle (the corpus itself carries none), so the redaction
+    // regexes are gated on guaranteed hits, not on a vacuous no-op
+    "q40_text_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), piiAugmented.as("text")),
+        "doc_id", "text")),
+    "q41_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // index-accelerated KWIC: the inverted-index docId set semi-joins into
+    // the documents scan first, so only matching docs are ever tokenized
+    "q42_text_kwic" -> ((s, dir) => {
+      val ids = IndexCache.searcher(s, dir).lookup("spark")
+        .select(col("docId").as("doc_id"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      TextAnalysis.kwic(docs, "doc_id", "text", "spark", window = 3)
+    }),
+    "q43_text_bigrams" -> ((s, dir) =>
+      TextAnalysis.bigramCounts(
+        s.read.parquet(s"$dir/documents.parquet"), "text", topN = 50)))
+
+  /** Deterministic PII augmentation for q40: appends an email, an IPv4, and
+    * a phone number derived from doc_id — mirrored verbatim in the oracle
+    * SQL so both sides redact the identical input.
+    */
+  private def piiAugmented: org.apache.spark.sql.Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com via 10."),
+      (col("doc_id") % 200).cast("string"), lit(".0."),
+      (col("doc_id") % 250).cast("string"),
+      lit(" call 415-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
 
   /** CTE chain ending in the exact all-pairs 3-gram Jaccard relation at
     * threshold 0.9 as `jp(a, b, jac)` — the shared base of the q11/q12
@@ -686,5 +745,90 @@ object SparkEntry {
         "JOIN ex y ON x.i = y.i AND x.vec_id < y.vec_id GROUP BY 1, 2) " +
         "SELECT a, b, round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos FROM p " +
         "JOIN nn na ON na.vec_id = a JOIN nn nb ON nb.vec_id = b " +
-        "WHERE round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.4"))
+        "WHERE round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.4"),
+    "q36_ii_prefix" ->
+      s"$toksCte SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%'",
+    // per-doc bool_or flags for the positive leaves + the q08-style
+    // token-adjacency regexp for the phrase leaf, combined with the same
+    // boolean structure the parser built
+    "q37_ii_query" ->
+      (s"$toksCte, m AS (SELECT doc_id, bool_or(term = 'spark') AS t_spark, " +
+        "bool_or(term LIKE 'filt%') AS t_filt, " +
+        "bool_or(term = 'window') AS t_window FROM toks GROUP BY doc_id) " +
+        "SELECT m.doc_id FROM m JOIN documents d ON d.doc_id = m.doc_id " +
+        "WHERE (t_spark OR t_filt) AND t_window AND NOT " +
+        "regexp_matches(lower(d.text), '(^|[^a-z0-9])sort[^a-z0-9]+merge([^a-z0-9]|$)')"),
+    // unordered NEAR/3 = whole-token occurrences separated by at most two
+    // intervening tokens, in either order (position delta <= 3)
+    "q38_ii_near" ->
+      ("SELECT doc_id FROM documents WHERE regexp_matches(lower(text), " +
+        "'(^|[^a-z0-9])spark([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+merge([^a-z0-9]|$)') " +
+        "OR regexp_matches(lower(text), " +
+        "'(^|[^a-z0-9])merge([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+spark([^a-z0-9]|$)')"),
+    "q39_ii_facets" ->
+      (s"$toksCte, m AS (SELECT doc_id FROM toks WHERE term IN ('spark','merge') " +
+        "GROUP BY doc_id HAVING count(DISTINCT term) = 2) " +
+        "SELECT t.term, count(DISTINCT t.doc_id) AS cnt FROM toks t JOIN m USING (doc_id) " +
+        "WHERE t.term NOT IN ('spark','merge') " +
+        "GROUP BY t.term ORDER BY cnt DESC, t.term LIMIT 20"),
+    // same doc_id-derived augmentation as the engine, then the identical
+    // redaction chain (emails -> IPs -> phones; each count reads the
+    // previous stage's output). DuckDB regexp_replace needs the explicit
+    // 'g' flag to match Spark's replace-all semantics.
+    "q40_text_redact" ->
+      ("WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || " +
+        "'@mail.example.com via 10.' || (doc_id % 200)::VARCHAR || '.0.' || " +
+        "(doc_id % 250)::VARCHAR || ' call 415-555-' || " +
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text FROM documents), " +
+        "r1 AS (SELECT doc_id, text, regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM aug), " +
+        "r2 AS (SELECT doc_id, text, t1, regexp_replace(t1, " +
+        "'\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b', '<IP>', 'g') AS t2 FROM r1) " +
+        "SELECT doc_id, regexp_replace(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS clean, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t1, '\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ips, " +
+        "CAST(len(regexp_extract_all(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones " +
+        "FROM r2"),
+    // unigram counts -> max/total; positional self-join -> bigram
+    // total/distinct; LEFT JOINs keep zero/one-token docs at 0.0 like the
+    // engine's coalesce
+    "q41_text_repetition" ->
+      (s"$posToksCte, uni AS (SELECT doc_id, sum(c) AS n, max(c) AS mx FROM " +
+        "(SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2) GROUP BY doc_id), " +
+        "big AS (SELECT a.doc_id, count(*) AS nb, " +
+        "count(DISTINCT a.term || ' ' || b.term) AS db " +
+        "FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 GROUP BY a.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(uni.n, 0) AS BIGINT) AS n_tokens, " +
+        "round(COALESCE(uni.mx * 1.0 / uni.n, 0.0), 4) AS top_token_frac, " +
+        "round(COALESCE(1.0 - big.db * 1.0 / big.nb, 0.0), 4) AS dup_bigram_frac " +
+        "FROM documents d LEFT JOIN uni ON uni.doc_id = d.doc_id " +
+        "LEFT JOIN big ON big.doc_id = d.doc_id"),
+    // first occurrence position (0-based, over the filtered token stream)
+    // + the ordered window of +-3 tokens around it
+    "q42_text_kwic" ->
+      (s"$posToksCte, f AS (SELECT doc_id, min(pos) AS p FROM t " +
+        "WHERE term = 'spark' GROUP BY doc_id) " +
+        "SELECT f.doc_id, CAST(f.p AS BIGINT) AS pos, " +
+        "string_agg(t.term, ' ' ORDER BY t.pos) AS snippet " +
+        "FROM f JOIN t ON t.doc_id = f.doc_id AND t.pos BETWEEN f.p - 3 AND f.p + 3 " +
+        "GROUP BY f.doc_id, f.p"),
+    "q43_text_bigrams" ->
+      (s"$posToksCte SELECT a.term || ' ' || b.term AS bigram, count(*) AS cnt " +
+        "FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
+        "GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 50"))
+
+  /** toks with 0-based per-doc positions over the FILTERED token stream —
+    * the positional twin of [[toksCte]] for the proximity / snippet /
+    * n-gram oracles (unnest + generate_series zip per the q15 oracle, then
+    * row_number over the kept tokens so positions match the engine's
+    * post-filter indices).
+    */
+  private val posToksCte: String =
+    "WITH toks0 AS (SELECT doc_id, " +
+      "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term, " +
+      "unnest(generate_series(1, len(regexp_split_to_array(lower(text), '[^a-z0-9]+')))) AS ord " +
+      "FROM documents), " +
+      "t AS (SELECT doc_id, term, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos " +
+      "FROM toks0 WHERE term <> '')"
 }

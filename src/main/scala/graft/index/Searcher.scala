@@ -91,8 +91,16 @@ class Searcher(val spark: SparkSession, val dir: String,
     * restricted searchers additionally push the overlapping-segId set into
     * the scan (parquet row-group skipping on the segId-sorted files).
     */
-  def postings(terms: Seq[String]): Dataset[SegmentPosting] = {
-    val base = segments.where(col("term").isin(terms: _*))
+  def postings(terms: Seq[String]): Dataset[SegmentPosting] =
+    postingsWhere(col("term").isin(terms: _*))
+
+  /** Postings rows under an arbitrary term-dictionary predicate — used by
+    * [[prefix]] where the pushed filter is `StringStartsWith` instead of
+    * `In` (segment files are term-sorted, so both become row-group min/max
+    * skipping in the Parquet scan).
+    */
+  def postingsWhere(termPred: org.apache.spark.sql.Column): Dataset[SegmentPosting] = {
+    val base = segments.where(termPred)
     val timed = timeSegIds match {
       case Some(ids) => base.where(col("segId").isin(ids: _*))
       case None => base
@@ -273,6 +281,144 @@ class Searcher(val spark: SparkSession, val dir: String,
       }.toDF("docId")
   }
 
+  /** Prefix (trailing-wildcard) term query: docIds containing ANY term that
+    * starts with `p`. The dictionary predicate pushes down as
+    * `StringStartsWith` into the term-sorted segment scan — at scale the
+    * matching dictionary range is a contiguous run of row groups, the same
+    * seek the reference's BTreeMap range scan would do
+    * (/root/reference/src/storage/block.rs:389-405). DocIds are deduped
+    * per segment in a hash set (a doc can match several expanded terms);
+    * segments own disjoint docId ranges, so results union withOUT a global
+    * distinct shuffle.
+    */
+  def prefix(p: String): DataFrame = {
+    require(p.nonEmpty, "empty prefix")
+    postingsWhere(col("term").startsWith(p))
+      .groupByKey(sp => (sp.wave, sp.segId))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[SegmentPosting]) =>
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val out = scala.collection.mutable.ArrayBuffer[Long]()
+        it.foreach { sp =>
+          sp.blocks.foreach { b =>
+            PostingCodec.decodeDocsTfs(b)._1.foreach { d =>
+              if (seen.add(d)) out += d
+            }
+          }
+        }
+        out.iterator
+      }.toDF("docId")
+  }
+
+  /** Proximity query: docs where `a` and `b` occur within `k` token
+    * positions of each other (`ordered` = `a` must come first). k = 1
+    * ordered is exactly [[phrase]] adjacency. Same per-segment shape as
+    * phrase — intersect the two doc lists, then a two-pointer min-gap walk
+    * over the sorted position arrays ([[Searcher.withinGap]], O(|pa|+|pb|)
+    * per candidate doc, no materialized position cross product).
+    */
+  def near(a: String, b: String, k: Int, ordered: Boolean = false): DataFrame = {
+    require(manifest.withPositions, "index built without positions")
+    require(k >= 1, "k must be >= 1")
+    require(a != b, "near() terms must differ")
+    postings(Seq(a, b))
+      .groupByKey(sp => (sp.wave, sp.segId))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[SegmentPosting]) =>
+        val byTerm = it.toSeq.groupBy(_.term)
+        if (byTerm.size < 2) Iterator.empty
+        else {
+          val da = Searcher.mergeRunFull(byTerm(a))
+          val db = Searcher.mergeRunFull(byTerm(b))
+          Searcher.intersect(Array(da._1, db._1)).iterator.filter { d =>
+            val pa = da._3(java.util.Arrays.binarySearch(da._1, d))
+            val pb = db._3(java.util.Arrays.binarySearch(db._1, d))
+            Searcher.withinGap(pa, pb, k, ordered)
+          }
+        }
+      }.toDF("docId")
+  }
+
+  /** Faceted search: for the result set of a conjunctive base query, count
+    * how many matched docs contain each co-occurring term (base terms
+    * excluded) and return the top `n` by (count desc, term asc).
+    *
+    * Scale shape: the index is inverted back to (docId, term) pairs in ONE
+    * scan — the base-term exclusion is pushed into that scan's dictionary
+    * predicate — and the matched-doc set (a conjunctive result, small by
+    * construction) joins in broadcast by default (`broadcastMatched=false`
+    * falls back to a shuffle join for pathological huge result sets). A
+    * (term, doc) pair exists at most once across segments, so `count(*)`
+    * IS the distinct-doc count — no count-distinct shuffle — and the final
+    * selection is a TakeOrdered, never a global sort.
+    */
+  def facets(baseTerms: Seq[String], n: Int,
+      broadcastMatched: Boolean = true): DataFrame = {
+    require(baseTerms.nonEmpty, "facets needs a base query")
+    val matchedRaw = and(baseTerms).select(col("docId"))
+    val matched = if (broadcastMatched) broadcast(matchedRaw) else matchedRaw
+    val inverted = segments
+      .where(!col("term").isin(baseTerms: _*))
+      .select("term", "wave", "segId", "df", "tf", "maxTf", "blocks")
+      .as[SegmentPosting]
+      .flatMap { sp =>
+        sp.blocks.iterator.flatMap(b =>
+          PostingCodec.decodeDocsTfs(b)._1.iterator.map(d => (d, sp.term)))
+      }.toDF("docId", "term")
+    inverted.join(matched, Seq("docId"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(n)
+  }
+
+  /** Execute a boolean query string (grammar: [[graft.query.QueryParser]] —
+    * AND/OR/NOT, parens, implicit AND, `"quoted phrases"`, `prefix*`).
+    *
+    * Plan: every distinct plain-term leaf resolves from ONE postings scan
+    * (term -> leafIds map captured in the closure); each prefix/phrase leaf
+    * contributes its own docId set with its leaf id attached. The union
+    * groups by docId into a matched-leaf-id set and the parsed tree becomes
+    * a single codegen'd `array_contains` predicate — one shuffle total
+    * (candidate-set sized), regardless of operator count, instead of a
+    * join/anti-join per boolean node. Queries satisfiable by a document
+    * containing none of the leaves (pure negation, `a OR NOT b`) are
+    * rejected: they select the unbounded complement of the corpus.
+    */
+  def query(q: String): DataFrame = {
+    import graft.query.QueryParser
+    val ast = QueryParser.parse(q)
+    if (QueryParser.matchesEmptyDoc(ast))
+      throw QueryParser.ParseException(
+        s"query '$q' matches documents containing none of its terms " +
+          "(unbounded complement) — add at least one required positive clause")
+    val ls = QueryParser.leaves(ast)
+    val leafId: Map[QueryParser.Leaf, Int] = ls.zipWithIndex.toMap
+    val termIds: Map[String, Seq[Int]] = ls.collect {
+      case l @ QueryParser.TermLeaf(t) => t -> leafId(l)
+    }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (termIds.nonEmpty) {
+      val tm = termIds // serializable capture (not the Searcher)
+      parts += postings(termIds.keys.toSeq).flatMap { sp =>
+        val ids = tm(sp.term)
+        sp.blocks.iterator
+          .flatMap(b => PostingCodec.decodeDocsTfs(b)._1.iterator)
+          .flatMap(d => ids.iterator.map(id => (d, id)))
+      }.toDF("docId", "leaf")
+    }
+    ls.foreach {
+      case l @ QueryParser.PrefixLeaf(p) =>
+        parts += prefix(p).withColumn("leaf", lit(leafId(l)))
+      case l @ QueryParser.PhraseLeaf(ts) =>
+        parts += phrase(ts).withColumn("leaf", lit(leafId(l)))
+      case _ => ()
+    }
+    parts.reduce(_ unionByName _)
+      .groupBy(col("docId"))
+      .agg(collect_set(col("leaf")).as("leaves"))
+      .where(QueryParser.toColumn(ast, leafId, col("leaves")))
+      .select("docId")
+  }
+
   /** BM25 top-k with per-segment block-max WAND pruning and a global
     * (score desc, docId asc) selection. Returns (docId, score) with exact
     * double scores.
@@ -368,6 +514,26 @@ object Searcher {
   }
 
   /** K-way sorted intersection with galloping advance on the smallest list. */
+  /** Min-gap existence test over two SORTED position arrays.
+    * ordered: some pb(j) - pa(i) in [1, k]; unordered: some |pa(i) - pb(j)|
+    * <= k. Two-pointer merge walk, O(|pa| + |pb|), no pair materialization.
+    */
+  def withinGap(pa: Array[Int], pb: Array[Int], k: Int, ordered: Boolean): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < pa.length && j < pb.length) {
+      val d = pb(j) - pa(i)
+      if (ordered) {
+        if (d >= 1 && d <= k) return true
+        if (d < 1) j += 1 else i += 1
+      } else {
+        if (math.abs(d) <= k) return true
+        if (d > 0) i += 1 else j += 1
+      }
+    }
+    false
+  }
+
   def intersect(lists: Array[Array[Long]]): Array[Long] = {
     if (lists.isEmpty) return Array.empty
     if (lists.exists(_.isEmpty)) return Array.empty

@@ -176,4 +176,124 @@ object TextAnalysis {
     }
     df.select(col(idCol), md5(joinedUdf(col(textCol))).as("fp"))
   }
+
+  /** PII redaction patterns — the subset of regex syntax on which Java
+    * (Spark) and RE2 (oracle/DuckDB) agree exactly: character classes,
+    * bounded repetition, `\b`/`\d` with identical ASCII `\w` semantics, no
+    * backreferences or lookaround. Applied in a fixed order (emails first —
+    * their domains would otherwise feed the looser IP/phone digit
+    * patterns).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing — the standard pre-training redaction pass (emails,
+    * IPv4 addresses, NANP-style phone numbers -> typed placeholder
+    * tokens), with per-category match counts for pipeline metrics.
+    *
+    * Entirely Catalyst built-ins (`regexp_replace`/`regexp_count`), so the
+    * whole pass is one codegen'd projection: no UDF, no extra pass per
+    * category — each count reads the intermediate of the previous
+    * replacement, which Catalyst keeps as a common subexpression.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val r1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val r2 = regexp_replace(r1, Ipv4Re, "<IP>")
+    val r3 = regexp_replace(r2, PhoneRe, "<PHONE>")
+    df.select(col(idCol),
+      r3.as("clean"),
+      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(r1, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(r2, lit(PhoneRe)).cast("long").as("n_phones"))
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1): fraction of
+    * tokens belonging to the single most frequent token, and fraction of
+    * duplicate token bigrams — the two cheap signals that catch boilerplate
+    * and degenerate repetition before expensive pipeline stages. One
+    * tokenize pass per doc emits (n, max unigram count, bigram total,
+    * bigram distinct); the ratio arithmetic stays in codegen'd built-ins.
+    * Empty/null text -> zeros (every input row keeps a row).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val u = udf { (s: String) =>
+      if (s == null) (0L, 0L, 0L, 0L)
+      else {
+        val ts = Tokenize.tokenizeScala(s)
+        val n = ts.length
+        val counts = new java.util.HashMap[String, Int](n * 2)
+        var i = 0
+        while (i < n) { counts.merge(ts(i), 1, Integer.sum): Unit; i += 1 }
+        var mx = 0
+        val it = counts.values().iterator()
+        while (it.hasNext) { val v = it.next(); if (v > mx) mx = v }
+        val nb = math.max(0, n - 1)
+        val bigrams = new java.util.HashSet[String](nb * 2)
+        i = 0
+        while (i < n - 1) { bigrams.add(ts(i) + " " + ts(i + 1)): Unit; i += 1 }
+        (n.toLong, mx.toLong, nb.toLong, bigrams.size.toLong)
+      }
+    }
+    df.select(col(idCol), u(col(textCol)).as("__r"))
+      .select(col(idCol),
+        col("__r._1").as("n_tokens"),
+        round(coalesce(col("__r._2").cast("double") /
+          nullif(col("__r._1").cast("double"), lit(0.0)), lit(0.0)), 4)
+          .as("top_token_frac"),
+        round(coalesce(lit(1.0) - col("__r._4").cast("double") /
+          nullif(col("__r._3").cast("double"), lit(0.0)), lit(0.0)), 4)
+          .as("dup_bigram_frac"))
+  }
+
+  /** Keyword-in-context snippet: for each doc containing `term`, the 0-based
+    * first-occurrence token position and the surrounding `window` tokens on
+    * each side, space-joined. One tokenize pass; docs without the term drop
+    * out (callers typically pre-filter with an index lookup so only
+    * matching docs are ever scanned — SparkEntry q42 pushes the inverted-
+    * index docId set into the documents scan first).
+    */
+  def kwic(df: DataFrame, idCol: String, textCol: String,
+      term: String, window: Int): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    val u = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val ts = Tokenize.tokenizeScala(s)
+        val p = ts.indexOf(term)
+        if (p < 0) null
+        else {
+          val lo = math.max(0, p - window)
+          val hi = math.min(ts.length - 1, p + window)
+          (p.toLong, ts.slice(lo, hi + 1).mkString(" "))
+        }
+      }
+    }
+    df.select(col(idCol), u(col(textCol)).as("__k"))
+      .where(col("__k").isNotNull)
+      .select(col(idCol), col("__k._1").as("pos"), col("__k._2").as("snippet"))
+  }
+
+  /** Corpus-wide top-n token bigrams by occurrence count (the n-gram
+    * language-model counting pass), ties broken by bigram text. One
+    * tokenize pass per doc emits its bigram stream; `explode` + hash
+    * aggregate gives map-side partial counts, and the (cnt desc, bigram
+    * asc) top-n is a TakeOrdered — never a global sort of the full n-gram
+    * table.
+    */
+  def bigramCounts(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val u = udf { (s: String) =>
+      if (s == null) Array.empty[String]
+      else {
+        val ts = Tokenize.tokenizeScala(s)
+        Array.tabulate(math.max(0, ts.length - 1))(i => ts(i) + " " + ts(i + 1))
+      }
+    }
+    df.select(explode(u(col(textCol))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(topN)
+  }
 }

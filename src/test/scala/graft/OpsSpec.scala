@@ -891,4 +891,76 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/sample").columns.toSet ==
       Set("doc_id", "lang"))
   }
+
+  test("redactPii replaces emails, IPs, phones and counts each category") {
+    val df = Seq(
+      (0L, "mail bob.smith+x@corp.example.org then 10.0.0.7 and 415-555-0001"),
+      (1L, "no pii here at all"),
+      (2L, "two ips 192.168.1.1 8.8.8.8 and a@b.co"),
+      (3L, "v1.2.3.4 is a version inside a token, not an ip"),
+      (4L, "555.123.4567 dotted phone")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._2 == "mail <EMAIL> then <IP> and <PHONE>")
+    assert((got(0L)._3, got(0L)._4, got(0L)._5) == (1L, 1L, 1L))
+    assert(got(1L)._2 == "no pii here at all")
+    assert((got(1L)._3, got(1L)._4, got(1L)._5) == (0L, 0L, 0L))
+    assert(got(2L)._2 == "two ips <IP> <IP> and <EMAIL>")
+    assert((got(2L)._3, got(2L)._4) == (1L, 2L))
+    // \b guards: digits glued to letters are not an IP
+    assert(got(3L)._2.contains("v1.2.3.4"))
+    assert(got(3L)._4 == 0L)
+    // dotted NANP form matches the phone pattern (and not the IP pattern:
+    // 4567 exceeds the 3-digit octet bound)
+    assert(got(4L)._2 == "<PHONE> dotted phone")
+  }
+
+  test("repetitionStats: top-token and duplicate-bigram fractions") {
+    val df = Seq(
+      (0L, "a a a b"), // top 3/4; bigrams: aa,aa,ab -> 1 - 2/3
+      (1L, "x y z w"), // no repetition
+      (2L, "solo"), // single token: no bigrams -> 0.0
+      (3L, ""), // empty -> all zeros
+      (4L, "p q p q p q")) // bigrams pq,qp,pq,qp,pq -> 1 - 2/5
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 4L, 0.75, 0.3333)))
+    assert(got(1L) == ((1L, 4L, 0.25, 0.0)))
+    assert(got(2L) == ((2L, 1L, 1.0, 0.0)))
+    assert(got(3L) == ((3L, 0L, 0.0, 0.0)))
+    assert(got(4L) == ((4L, 6L, 0.5, 0.6)))
+  }
+
+  test("kwic clips the window at both document edges") {
+    val df = Seq(
+      (0L, "spark at the very start of this doc"),
+      (1L, "ending a document with the word spark"),
+      (2L, "one two three spark five six seven eight"),
+      (3L, "no match here")).toDF("doc_id", "text")
+    val got = TextAnalysis.kwic(df, "doc_id", "text", "spark", window = 2)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 0L, "spark at the")))
+    assert(got(1L) == ((1L, 6L, "the word spark")))
+    assert(got(2L) == ((2L, 3L, "two three spark five six")))
+    assert(!got.contains(3L))
+  }
+
+  test("kwic reports the FIRST occurrence") {
+    val df = Seq((0L, "a spark b c spark d")).toDF("doc_id", "text")
+    val got = TextAnalysis.kwic(df, "doc_id", "text", "spark", window = 1)
+      .as[(Long, Long, String)].head()
+    assert(got == ((0L, 1L, "a spark b")))
+  }
+
+  test("bigramCounts orders by count desc then bigram asc") {
+    val df = Seq(
+      (0L, "a b a b c d"), // ab:2 (ba:1, bc:1, cd:1)
+      (1L, "c d x")) // cd:1 -> 2 total, dx:1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCounts(df, "text", topN = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 2L), ("c d", 2L), ("b a", 1L)))
+  }
 }

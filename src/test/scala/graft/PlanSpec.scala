@@ -29,6 +29,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(term"), plan)
   }
 
+  test("prefix dictionary predicate is pushed as StringStartsWith") {
+    val plan = s.prefix("w1").queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,w1"), plan)
+  }
+
+  test("facets matched-doc set joins broadcast by default") {
+    // broadcastMatched=false (AQE-planned fallback for pathological result
+    // sets) is correctness-gated in QuerySpec; here assert the default hint
+    val plan = s.facets(Seq("w3", "common"), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("termstats rebuild scan prunes the posting blobs (ReadSchema w/o blocks)") {
     val statsScan = s.segments.select("term", "df", "tf", "maxTf")
       .queryExecution.executedPlan.toString

@@ -150,4 +150,74 @@ class QuerySpec extends SparkSpec {
     assert(got.map(_._1) == (500L until 510L).toSeq, got)
     assert(got.map(_._2).distinct.size == 1)
   }
+
+  test("prefix query equals naive LIKE expansion and emits no duplicates") {
+    val p = "term01" // expands to term0100..term0199 under the zipf vocab
+    val naive = docSet(toks.where(col("term").startsWith(p)).distinct())
+    val got = s.prefix(p)
+    assert(docSet(got) == naive)
+    assert(got.count() == naive.size, "per-segment dedup must hold globally")
+    assert(s.prefix("nosuchprefix").count() == 0)
+  }
+
+  test("near equals the min-gap oracle in both orders") {
+    val (a, b, k) = (head, mid, 4)
+    val gapUdf = udf { (t: String, ordered: Boolean) =>
+      val ts = Tokenize.tokenizeScala(t)
+      val pa = ts.indices.filter(ts(_) == a)
+      val pb = ts.indices.filter(ts(_) == b)
+      if (ordered) pa.exists(p => pb.exists(q => q - p >= 1 && q - p <= k))
+      else pa.exists(p => pb.exists(q => math.abs(q - p) <= k))
+    }
+    val naiveUn = docSet(docs.where(gapUdf(col("text"), lit(false))))
+    val naiveOrd = docSet(docs.where(gapUdf(col("text"), lit(true))))
+    assert(docSet(s.near(a, b, k)) == naiveUn)
+    assert(docSet(s.near(a, b, k, ordered = true)) == naiveOrd)
+    assert(naiveOrd.subsetOf(naiveUn))
+    // k=1 ordered is exactly phrase adjacency
+    assert(docSet(s.near(a, b, 1, ordered = true)) == docSet(s.phrase(Seq(a, b))))
+  }
+
+  test("facets equal the naive count-distinct top-n, ordered") {
+    val base = Seq(head, "term0005")
+    val matched = docSet(s.and(base))
+    val naive = toks
+      .where(col("docId").isin(matched.toSeq: _*) && !col("term").isin(base: _*))
+      .groupBy("term").agg(countDistinct("docId").as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(15)
+      .as[(String, Long)].collect().toSeq
+    val got = s.facets(base, 15).as[(String, Long)].collect().toSeq
+    assert(got == naive)
+    // shuffle-join fallback must agree with the broadcast default
+    val gotShuffle = s.facets(base, 15, broadcastMatched = false)
+      .as[(String, Long)].collect().toSeq
+    assert(gotShuffle == naive)
+  }
+
+  test("boolean query string equals explicit set algebra") {
+    val (a, b, c, d) = (head, "term0100", mid, tail)
+    val q = s"($a OR $b) AND $c NOT $d"
+    val expected = ((docSet(s.lookup(a)) ++ docSet(s.lookup(b))) &
+      docSet(s.lookup(c))) -- docSet(s.lookup(d))
+    assert(docSet(s.query(q)) == expected, q)
+    // juxtaposition form parses to the same AND
+    assert(docSet(s.query(s"$c ($a OR $b) NOT $d")) == expected)
+  }
+
+  test("boolean query with prefix and phrase leaves") {
+    // phrase leaf: take an adjacent pair that actually occurs
+    val sample = docs.select("text").as[String].head()
+    val ws = Tokenize.tokenizeScala(sample)
+    val ph = Seq(ws(0), ws(1))
+    val expected =
+      (docSet(s.prefix("term01")) & docSet(s.phrase(ph))) -- docSet(s.lookup(tail))
+    val got = s.query(s"""term01* AND "${ph.mkString(" ")}" AND NOT $tail""")
+    assert(docSet(got) == expected)
+  }
+
+  test("pure-negation queries are rejected, not silently empty") {
+    assertThrows[graft.query.QueryParser.ParseException](s.query(s"NOT $head"))
+    assertThrows[graft.query.QueryParser.ParseException](
+      s.query(s"$head OR NOT $mid"))
+  }
 }
