@@ -441,7 +441,30 @@ object SparkEntry {
     }),
     "q43_text_bigrams" -> ((s, dir) =>
       TextAnalysis.bigramCounts(
-        s.read.parquet(s"$dir/documents.parquet"), "text", topN = 50)))
+        s.read.parquet(s"$dir/documents.parquet"), "text", topN = 50)),
+    // line-level boilerplate removal (C4/RefinedWeb pass). The corpus is
+    // single-line synthetic text, so — like q40's PII — multi-line docs are
+    // synthesized deterministically IN BOTH the engine and the oracle:
+    // a header line shared per source and a footer line shared per
+    // doc_id%5 group guarantee cross-doc duplicates, the body line stays
+    // (mostly) unique. minDocs=2 strips header+footer, keeps the body.
+    "q44_dedup_lines" -> ((s, dir) =>
+      Dedup.dedupLines(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), lineAugmented.as("text")),
+        "doc_id", "text", minDocs = 2)),
+    // prefix suggestion: top-15 dictionary terms by corpus df — pure
+    // stats-column aggregation, posting blobs never read (PlanSpec asserts
+    // ReadSchema without `blocks`)
+    "q45_ii_suggest" -> ((s, dir) =>
+      IndexCache.searcher(s, dir).suggest("s", n = 15)))
+
+  /** Deterministic multi-line augmentation for q44 — mirrored verbatim in
+    * the oracle SQL so both sides dedup the identical 3-line documents.
+    */
+  private def lineAugmented: org.apache.spark.sql.Column =
+    concat(lit("header "), col("source"), lit("\n"), col("text"),
+      lit("\nfooter "), (col("doc_id") % 5).cast("string"))
 
   /** Deterministic PII augmentation for q40: appends an email, an IPv4, and
     * a phone number derived from doc_id — mirrored verbatim in the oracle
@@ -815,7 +838,27 @@ object SparkEntry {
     "q43_text_bigrams" ->
       (s"$posToksCte SELECT a.term || ' ' || b.term AS bigram, count(*) AS cnt " +
         "FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
-        "GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 50"))
+        "GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 50"),
+    // same doc_id/source-derived 3-line augmentation as the engine; the
+    // frequent-line set (>= 2 distinct docs) is removed and the kept lines
+    // reassemble in position order (string_agg skips the NULLed dup lines;
+    // COALESCE keeps fully-boilerplate docs as clean = '')
+    "q44_dedup_lines" ->
+      ("WITH aug AS (SELECT doc_id, 'header ' || source || chr(10) || text || " +
+        "chr(10) || 'footer ' || (doc_id % 5)::VARCHAR AS text FROM documents), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos FROM aug), " +
+        "f AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2), " +
+        "m AS (SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS dup " +
+        "FROM l LEFT JOIN f USING (line)) " +
+        "SELECT doc_id, COALESCE(string_agg(CASE WHEN NOT dup THEN line END, " +
+        "chr(10) ORDER BY pos), '') AS clean, " +
+        "CAST(COALESCE(sum(CASE WHEN dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed " +
+        "FROM m GROUP BY doc_id"),
+    "q45_ii_suggest" ->
+      (s"$toksCte SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
+        "FROM toks WHERE term LIKE 's%' " +
+        "GROUP BY term ORDER BY df DESC, term LIMIT 15"))
 
   /** toks with 0-based per-doc positions over the FILTERED token stream —
     * the positional twin of [[toksCte]] for the proximity / snippet /

@@ -309,6 +309,26 @@ class Searcher(val spark: SparkSession, val dir: String,
       }.toDF("docId")
   }
 
+  /** Prefix term suggestion ("did you mean" / search-box completion): the
+    * top `n` dictionary terms starting with `p`, ranked by corpus document
+    * frequency (ties by term asc). Pure stats-column aggregation — segments
+    * own disjoint docId ranges, so summing the per-segment `df` counters IS
+    * the corpus df (no count-distinct over postings), and the posting blobs
+    * are never read: Catalyst prunes `blocks` from the scan (PlanSpec
+    * asserts ReadSchema), the same eager-meta/lazy-postings split as the
+    * reference's header-only dictionary walk
+    * (/root/reference/src/storage/block.rs:62-84, :389-405). Top-n is a
+    * TakeOrdered, never a global sort of the dictionary.
+    */
+  def suggest(p: String, n: Int): DataFrame = {
+    require(p.nonEmpty, "empty prefix")
+    postingsWhere(col("term").startsWith(p))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(n)
+  }
+
   /** Proximity query: docs where `a` and `b` occur within `k` token
     * positions of each other (`ordered` = `a` must come first). k = 1
     * ordered is exactly [[phrase]] adjacency. Same per-segment shape as

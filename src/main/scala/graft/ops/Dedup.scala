@@ -55,6 +55,46 @@ object Dedup {
     hashed.join(keep, "h").select(col(idCol), col("keep_id"))
   }
 
+  /** Line-level boilerplate removal (the C4 / RefinedWeb pre-training pass:
+    * drop every line that recurs across the corpus — site headers, footers,
+    * cookie banners — keeping each document's remaining lines in order).
+    *
+    * Returns one row per input doc: (id, clean = kept lines joined by \n,
+    * n_removed). Docs whose every line is boilerplate stay as clean = "".
+    *
+    * Scale shape: ONE aggregation over exploded lines finds the frequent
+    * set (count distinct docs >= minDocs) — by Zipf the boilerplate set is
+    * tiny relative to the corpus, so it broadcasts by default
+    * (`broadcastFrequent = false` falls back to an AQE-planned shuffle join
+    * for adversarial corpora); the corpus's lines are then LEFT-joined
+    * against it and a single groupBy(id) both reassembles the kept lines
+    * (collect_list skips the nulled-out dup lines; array_sort on the
+    * (pos, line) structs restores document order) and counts the removals.
+    * Two shuffles total (frequent-line agg + reassembly), corpus scanned
+    * twice, nothing quadratic, no windows.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String, minDocs: Int,
+      broadcastFrequent: Boolean = true): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would drop every line)")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val freqRaw = lines.groupBy($("line"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where($("nd") >= minDocs)
+      .select($("line"), lit(true).as("__dup"))
+    val freq = if (broadcastFrequent) broadcast(freqRaw) else freqRaw
+    lines.join(freq, Seq("line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when($("__dup").isNull,
+              struct($("pos"), $("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean"),
+        coalesce(sum(when($("__dup"), 1L)), lit(0L)).as("n_removed"))
+  }
+
   private def $(s: String) = col(s)
 
   /** Shared-FS staging root (see [[graft.util.Staging]]): explicit

@@ -963,4 +963,32 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("a b", 2L), ("c d", 2L), ("b a", 1L)))
   }
+
+  test("dedupLines strips cross-doc lines, keeps order, handles all-boilerplate docs") {
+    val df = Seq(
+      (0L, "shared header\nunique zero\nshared footer"),
+      (1L, "shared header\nunique one a\nunique one b\nshared footer"),
+      (2L, "shared header\nshared footer"), // nothing survives
+      (3L, "loner line\nanother loner")) // nothing removed
+      .toDF("doc_id", "text")
+    for (bcast <- Seq(true, false)) {
+      val got = Dedup.dedupLines(df, "doc_id", "text", minDocs = 2, bcast)
+        .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(0L) == (("unique zero", 1L + 1L)), got(0L))
+      assert(got(1L) == (("unique one a\nunique one b", 2L)), got(1L))
+      assert(got(2L) == (("", 2L)), got(2L)) // row KEPT, clean empty
+      assert(got(3L) == (("loner line\nanother loner", 0L)), got(3L))
+      assert(got.size == 4)
+    }
+  }
+
+  test("dedupLines counts DISTINCT docs, not occurrences") {
+    // the repeated line occurs 3 times but only within ONE doc -> kept
+    val df = Seq(
+      (0L, "rep\nrep\nrep\nbody"),
+      (1L, "other")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(df, "doc_id", "text", minDocs = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(0L) == "rep\nrep\nrep\nbody")
+  }
 }

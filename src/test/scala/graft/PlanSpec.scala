@@ -34,6 +34,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("StringStartsWith(term,w1"), plan)
   }
 
+  test("suggest is a stats-only scan: prefix pushed, posting blobs pruned") {
+    val plan = s.suggest("w1", 10).queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,w1"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("blocks"), readSchema)
+  }
+
   test("facets matched-doc set joins broadcast by default") {
     // broadcastMatched=false (AQE-planned fallback for pathological result
     // sets) is correctness-gated in QuerySpec; here assert the default hint

@@ -160,6 +160,17 @@ class QuerySpec extends SparkSpec {
     assert(s.prefix("nosuchprefix").count() == 0)
   }
 
+  test("suggest equals the naive df ranking under the prefix") {
+    val p = "term01"
+    val naive = toks.where(col("term").startsWith(p))
+      .groupBy("term").agg(countDistinct("docId").as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(10)
+      .as[(String, Long)].collect().toSeq
+    val got = s.suggest(p, 10).as[(String, Long)].collect().toSeq
+    assert(got == naive)
+    assert(s.suggest("nosuchprefix", 5).count() == 0)
+  }
+
   test("near equals the min-gap oracle in both orders") {
     val (a, b, k) = (head, mid, 4)
     val gapUdf = udf { (t: String, ordered: Boolean) =>
