@@ -165,6 +165,29 @@ object SparkEntry {
       .toDF("doc_id", "score")
   }
 
+  /** q46 harness: derive the seed doc's top-`nTerms` terms by tf (ties by
+    * term asc — identical to the oracle's ORDER BY tf DESC, term LIMIT n),
+    * then rounded BM25 top-k with the seed excluded. The seed lookup is a
+    * doc_id point read (parquet predicate pushdown), ONE row collected.
+    */
+  private[graft] def moreLikeThisRounded(spark: SparkSession, sfDir: String,
+      docId: Long, nTerms: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val txt = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") === docId).select("text")
+      .collect()
+    require(txt.nonEmpty, s"seed doc $docId not found")
+    val ts = graft.text.Tokenize.tokenizeScala(txt.head.getString(0))
+    val seedTerms = ts.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(nTerms).map(_._1)
+    val s = IndexCache.searcher(spark, sfDir)
+    roundedTopK(n => s.moreLikeThis(seedTerms, docId, n)
+      .select(col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))), k)
+      .toDF("doc_id", "score")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- inverted index / BM25 core ------------------------------------
     "q01_ii_stats" -> ((s, dir) => statsDump(s, IndexCache.full(s, dir))),
@@ -457,7 +480,12 @@ object SparkEntry {
     // stats-column aggregation, posting blobs never read (PlanSpec asserts
     // ReadSchema without `blocks`)
     "q45_ii_suggest" -> ((s, dir) =>
-      IndexCache.searcher(s, dir).suggest("s", n = 15)))
+      IndexCache.searcher(s, dir).suggest("s", n = 15)),
+    // relevance feedback: seed doc 7's top-3 terms by tf -> BM25 top-10
+    // with the seed excluded (Searcher.moreLikeThis, block-max WAND path);
+    // oracle re-derives the identical seed terms and BM25 sum in SQL
+    "q46_ii_morelikethis" -> ((s, dir) =>
+      moreLikeThisRounded(s, dir, docId = 7L, nTerms = 3, k = 10)))
 
   /** Deterministic multi-line augmentation for q44 — mirrored verbatim in
     * the oracle SQL so both sides dedup the identical 3-line documents.
@@ -858,7 +886,26 @@ object SparkEntry {
     "q45_ii_suggest" ->
       (s"$toksCte SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
         "FROM toks WHERE term LIKE 's%' " +
-        "GROUP BY term ORDER BY df DESC, term LIMIT 15"))
+        "GROUP BY term ORDER BY df DESC, term LIMIT 15"),
+    // q06's BM25 program with the fixed term list replaced by the seed
+    // doc's top-3 terms by tf (ties by term asc — the engine derives the
+    // same list from the same tokenizer) and the seed doc excluded
+    "q46_ii_morelikethis" ->
+      (s"$toksCte, seed AS (SELECT term FROM (SELECT term, count(*) AS tf " +
+        "FROM toks WHERE doc_id = 7 GROUP BY term ORDER BY tf DESC, term LIMIT 3)), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, " +
+        "(SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks " +
+        "WHERE term IN (SELECT term FROM seed) GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks " +
+        "WHERE term IN (SELECT term FROM seed) GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, sum(ln((n - df + 0.5)/(df + 0.5) + 1.0) * " +
+        "tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS s " +
+        "FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats " +
+        "GROUP BY tf.doc_id) " +
+        "SELECT doc_id, round(s, 4) AS score FROM sc WHERE doc_id <> 7 " +
+        "ORDER BY round(s, 4) DESC, doc_id LIMIT 10"))
 
   /** toks with 0-based per-doc positions over the FILTERED token stream —
     * the positional twin of [[toksCte]] for the proximity / snippet /

@@ -439,6 +439,20 @@ class Searcher(val spark: SparkSession, val dir: String,
       .select("docId")
   }
 
+  /** "More like this" (relevance feedback): the top-k docs by BM25 over a
+    * seed document's representative terms, the seed itself excluded.
+    * Callers derive `seedTerms` from the seed doc (top-n terms by tf, ties
+    * by term asc — a one-row point lookup, not a corpus op); the search
+    * itself is the block-max WAND [[bm25]] path with k+1 fetched so the
+    * exclusion can never shrink the result below k.
+    */
+  def moreLikeThis(seedTerms: Seq[String], excludeDocId: Long, k: Int,
+      params: Bm25Params = Bm25Params()): DataFrame =
+    bm25(seedTerms, k + 1, params)
+      .where(col("docId") =!= excludeDocId)
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+
   /** BM25 top-k with per-segment block-max WAND pruning and a global
     * (score desc, docId asc) selection. Returns (docId, score) with exact
     * double scores.

@@ -171,6 +171,24 @@ class QuerySpec extends SparkSpec {
     assert(s.suggest("nosuchprefix", 5).count() == 0)
   }
 
+  test("moreLikeThis = bm25(k+1) minus the seed, reordered, capped at k") {
+    val seedTerms = Seq(head, mid)
+    val k = 8
+    // pick a seed that actually ranks inside the top k+1 so the exclusion
+    // path is exercised, not vacuous
+    val top = s.bm25(seedTerms, k + 1)
+      .select(col("docId").cast("long"), col("score"))
+      .as[(Long, Double)].collect()
+    val seedDoc = top.head._1
+    val expected = top.filter(_._1 != seedDoc).sortBy { case (d, sc) => (-sc, d) }.take(k).toSeq
+    val got = s.moreLikeThis(seedTerms, seedDoc, k)
+      .select(col("docId").cast("long"), col("score"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.toSet == expected.toSet)
+    assert(got.size == k)
+    assert(!got.exists(_._1 == seedDoc))
+  }
+
   test("near equals the min-gap oracle in both orders") {
     val (a, b, k) = (head, mid, 4)
     val gapUdf = udf { (t: String, ordered: Boolean) =>
