@@ -152,6 +152,26 @@ class PlanSpec extends SparkSpec {
       plan.contains("In(docId"), plan)
   }
 
+  test("dedupLines frequent-line set broadcasts by default, shuffles on fallback — never a window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill size-based auto-broadcast so the plans show ONLY the switch
+      // (same discipline as the topKBatch test above): true -> the explicit
+      // hint broadcasts; false -> a plain join AQE can re-plan from actual
+      // sizes on an adversarial (non-Zipf) frequent-line set
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bplan = graft.ops.Dedup.dedupLines(docs, "doc_id", "text", minDocs = 2)
+        .queryExecution.executedPlan.toString
+      assert(bplan.contains("BroadcastHashJoin"), bplan)
+      assert(!bplan.contains("Window"), bplan)
+      val splan = graft.ops.Dedup
+        .dedupLines(docs, "doc_id", "text", minDocs = 2, broadcastFrequent = false)
+        .queryExecution.executedPlan.toString
+      assert(!splan.contains("BroadcastHashJoin"), splan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("sampleBalanced is a broadcast join + filter — no sort, no window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.ops.Corpus.sampleBalanced(docs, "doc_id", "lang", 100L)
