@@ -485,7 +485,14 @@ object SparkEntry {
     // with the seed excluded (Searcher.moreLikeThis, block-max WAND path);
     // oracle re-derives the identical seed terms and BM25 sum in SQL
     "q46_ii_morelikethis" -> ((s, dir) =>
-      moreLikeThisRounded(s, dir, docId = 7L, nTerms = 3, k = 10)))
+      moreLikeThisRounded(s, dir, docId = 7L, nTerms = 3, k = 10)),
+    // fuzzy term match: docs containing any dictionary term within edit
+    // distance 2 of 'part' (expands to fast/part/sort/spark on this vocab).
+    // Phase 1 = stats-only dictionary scan + codegen'd levenshtein filter,
+    // phase 2 = In-pushdown postings union (PlanSpec asserts the pushdown)
+    "q47_ii_fuzzy" -> ((s, dir) =>
+      IndexCache.searcher(s, dir).fuzzy("part", maxDist = 2)
+        .select(col("docId").as("doc_id"))))
 
   /** Deterministic multi-line augmentation for q44 — mirrored verbatim in
     * the oracle SQL so both sides dedup the identical 3-line documents.
@@ -905,7 +912,10 @@ object SparkEntry {
         "FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats " +
         "GROUP BY tf.doc_id) " +
         "SELECT doc_id, round(s, 4) AS score FROM sc WHERE doc_id <> 7 " +
-        "ORDER BY round(s, 4) DESC, doc_id LIMIT 10"))
+        "ORDER BY round(s, 4) DESC, doc_id LIMIT 10"),
+    "q47_ii_fuzzy" ->
+      (s"$toksCte SELECT DISTINCT doc_id FROM toks " +
+        "WHERE levenshtein(term, 'part') <= 2"))
 
   /** toks with 0-based per-doc positions over the FILTERED token stream —
     * the positional twin of [[toksCte]] for the proximity / snippet /

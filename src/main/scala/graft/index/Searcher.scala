@@ -293,7 +293,38 @@ class Searcher(val spark: SparkSession, val dir: String,
     */
   def prefix(p: String): DataFrame = {
     require(p.nonEmpty, "empty prefix")
-    postingsWhere(col("term").startsWith(p))
+    expandedUnion(col("term").startsWith(p))
+  }
+
+  /** Fuzzy term query ("did you mean" matching): docIds containing ANY
+    * dictionary term within Levenshtein distance `maxDist` of `t`. Two
+    * phases, the classic fuzzy-expansion plan: (1) a stats-only dictionary
+    * scan (posting blobs pruned) filters terms by the codegen'd built-in
+    * `levenshtein` and collects the matched set — bounded by the edit ball
+    * around `t`, a handful of terms in any real dictionary — then (2) the
+    * match set goes back in as an `In` pushdown so only matching terms'
+    * postings are ever decoded. Decoding behind a dictionary-wide
+    * levenshtein filter instead would read every posting blob: the
+    * predicate can't push into Parquet, so phase 1 exists precisely to keep
+    * the blob column out of the wide scan.
+    */
+  def fuzzy(t: String, maxDist: Int = 1): DataFrame = {
+    require(t.nonEmpty, "empty term")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val matched = segments.select("term").distinct()
+      .where(levenshtein(col("term"), lit(t)) <= maxDist)
+      .as[String].collect().toSeq
+    if (matched.isEmpty) spark.emptyDataset[Long].toDF("docId")
+    else expandedUnion(col("term").isin(matched: _*))
+  }
+
+  /** Union of all docIds under a multi-term dictionary predicate. DocIds
+    * are deduped per segment in a hash set (a doc can match several
+    * expanded terms); segments own disjoint docId ranges, so the results
+    * union withOUT a global distinct shuffle.
+    */
+  private def expandedUnion(termPred: org.apache.spark.sql.Column): DataFrame =
+    postingsWhere(termPred)
       .groupByKey(sp => (sp.wave, sp.segId))
       .flatMapGroups { (_: (Int, Long), it: Iterator[SegmentPosting]) =>
         val seen = new java.util.HashSet[java.lang.Long]()
@@ -307,7 +338,6 @@ class Searcher(val spark: SparkSession, val dir: String,
         }
         out.iterator
       }.toDF("docId")
-  }
 
   /** Prefix term suggestion ("did you mean" / search-box completion): the
     * top `n` dictionary terms starting with `p`, ranked by corpus document

@@ -41,6 +41,11 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("blocks"), readSchema)
   }
 
+  test("fuzzy phase 2 pushes the expanded term set as an In filter") {
+    val plan = s.fuzzy("w1", maxDist = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("In(term"), plan)
+  }
+
   test("facets matched-doc set joins broadcast by default") {
     // broadcastMatched=false (AQE-planned fallback for pathological result
     // sets) is correctness-gated in QuerySpec; here assert the default hint

@@ -171,6 +171,19 @@ class QuerySpec extends SparkSpec {
     assert(s.suggest("nosuchprefix", 5).count() == 0)
   }
 
+  test("fuzzy equals the naive levenshtein filter; empty ball -> empty result") {
+    // term0040's distance-1 ball under the termNNNN vocab is every
+    // single-digit variant present in the corpus (term0041, term0090, ...)
+    val t = "term0040"
+    val naive = docSet(toks
+      .where(levenshtein(col("term"), lit(t)) <= 1).distinct())
+    val got = s.fuzzy(t, maxDist = 1)
+    assert(docSet(got) == naive)
+    assert(naive.size > docSet(s.lookup(t)).size, "expansion must be non-trivial")
+    assert(got.count() == naive.size, "per-segment dedup must hold globally")
+    assert(s.fuzzy("zzzzzzzzzz", 1).count() == 0)
+  }
+
   test("moreLikeThis = bm25(k+1) minus the seed, reordered, capped at k") {
     val seedTerms = Seq(head, mid)
     val k = 8
