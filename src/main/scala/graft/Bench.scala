@@ -207,6 +207,7 @@ object Bench {
     val (_, buildAnnSec) = time(IndexCache.ann(spark, sfDir))
     val (_, buildIvfSec) = time(IndexCache.ivf(spark, sfDir))
     val (_, buildPqSec) = time(IndexCache.pq(spark, sfDir))
+    val (_, buildTriSec) = time(IndexCache.trigram(spark, sfDir))
     // warm the streaming machinery too (state store, streaming codegen,
     // checkpoint manager — ~15 s of one-time JVM init measured at q22
     // otherwise) with a 64-row self-contained stream, same philosophy as
@@ -221,7 +222,7 @@ object Bench {
         .windowedEventCountsIncremental(spark, warmDir).count()
     }
     emitSection("cache_builds",
-      f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f,"cache_build_ivf_sec":$buildIvfSec%.3f,"cache_build_pq_sec":$buildPqSec%.3f,"stream_warm_sec":$streamWarmSec%.3f""")
+      f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f,"cache_build_ivf_sec":$buildIvfSec%.3f,"cache_build_pq_sec":$buildPqSec%.3f,"cache_build_trigram_sec":$buildTriSec%.3f,"stream_warm_sec":$streamWarmSec%.3f""")
     probeAt("after_cache_builds")
 
     // ---- 2. per-query timings: min over interleaved passes ----------------
@@ -396,7 +397,7 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_passes":$rawPasses,"sf":"$sfDir",""" +
         f""""index_build":{"docs":$benchDocs,"docs_per_sec":$docsPerSec%.1f,"postings_per_sec":$postingsPerSec%.1f,"build_reps":$buildRepsJson,""" +
-        f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f,"cache_build_ivf_sec":$buildIvfSec%.3f,"cache_build_pq_sec":$buildPqSec%.3f,"stream_warm_sec":$streamWarmSec%.3f},""" +
+        f""""cache_build_full_sec":$buildFullSec%.3f,"cache_build_twowave_sec":$buildTwoSec%.3f,"cache_build_ann_sec":$buildAnnSec%.3f,"cache_build_ivf_sec":$buildIvfSec%.3f,"cache_build_pq_sec":$buildPqSec%.3f,"cache_build_trigram_sec":$buildTriSec%.3f,"stream_warm_sec":$streamWarmSec%.3f},""" +
         s""""stale_jvms":${stale.size},""" +
         f""""bench_wall_sec":$wallSec%.1f,"bench_budget_sec":$budgetSec,""" +
         s""""host_probe_trace":$traceJson,""" +

@@ -48,6 +48,20 @@ object IndexCache {
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     new Searcher(spark, full(spark, sfDir))
 
+  /** Trigram-analyzed index over the documents table (exact substring
+    * search, Searcher.substring). Positions off: the substring verify pass
+    * reads source text, so position bytes would buy nothing (Trigram
+    * scaladoc).
+    */
+  def trigram(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"trigram:$sfDir", {
+      val dir = s"$root/trigram-${math.abs(sfDir.hashCode)}"
+      IndexBuilder.build(spark, docsOf(spark, sfDir), dir,
+        IndexOptions(docsPerSegment = 128, withPositions = false,
+          analyzer = IndexOptions.TrigramAnalyzer))
+      dir
+    })
+
   /** Persisted LSH ANN index over the embeddings table (bucket-partitioned
     * layout — queries prune the scan, AnnIndex scaladoc).
     */
@@ -492,7 +506,32 @@ object SparkEntry {
     // phase 2 = In-pushdown postings union (PlanSpec asserts the pushdown)
     "q47_ii_fuzzy" -> ((s, dir) =>
       IndexCache.searcher(s, dir).fuzzy("part", maxDist = 2)
-        .select(col("docId").as("doc_id"))))
+        .select(col("docId").as("doc_id"))),
+    // exact substring search over the trigram-analyzed index (the Code
+    // Search / Zoekt plan, Searcher.substring): rarest needle windows
+    // AND-intersected through the posting path, survivors verified against
+    // source text with the codegen'd Contains. Oracle = the brute-force
+    // contains() relation, so candidate recall is gated end-to-end.
+    "q48_ii_substring" -> ((s, dir) =>
+      new Searcher(s, IndexCache.trigram(s, dir))
+        .substring("order sort", s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text")),
+    // multi-literal search (the pure-alternation regex case): ONE posting
+    // fetch serves every needle's window conjunction; the absent needle
+    // drops out at the stats lookup without touching a posting blob
+    "q49_ii_substring_any" -> ((s, dir) =>
+      new Searcher(s, IndexCache.trigram(s, dir))
+        .substringAny(Seq("order sort", "stream spark", "zz@@absent"),
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // occurrence-ranked substring top-k: counting arithmetic (codegen'd
+    // length/replace built-ins) runs only on verified candidates. The
+    // collect bound is deliberately set below this common needle's
+    // candidate count so the oracle gates the SEMI-JOIN fallback path
+    // (q48/q49 gate the zero-join pushdown path)
+    "q50_ii_substring_topk" -> ((s, dir) =>
+      new Searcher(s, IndexCache.trigram(s, dir))
+        .substringTopK("order", s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", k = 20, pushdownLimit = 256)))
 
   /** Deterministic multi-line augmentation for q44 — mirrored verbatim in
     * the oracle SQL so both sides dedup the identical 3-line documents.
@@ -915,7 +954,16 @@ object SparkEntry {
         "ORDER BY round(s, 4) DESC, doc_id LIMIT 10"),
     "q47_ii_fuzzy" ->
       (s"$toksCte SELECT DISTINCT doc_id FROM toks " +
-        "WHERE levenshtein(term, 'part') <= 2"))
+        "WHERE levenshtein(term, 'part') <= 2"),
+    "q48_ii_substring" ->
+      "SELECT doc_id FROM documents WHERE contains(text, 'order sort')",
+    "q49_ii_substring_any" ->
+      ("SELECT doc_id FROM documents WHERE contains(text, 'order sort') " +
+        "OR contains(text, 'stream spark') OR contains(text, 'zz@@absent')"),
+    "q50_ii_substring_topk" ->
+      ("SELECT doc_id, CAST((length(text) - length(replace(text, 'order', ''))) / 5 AS BIGINT) AS hits " +
+        "FROM documents WHERE contains(text, 'order') " +
+        "ORDER BY hits DESC, doc_id LIMIT 20"))
 
   /** toks with 0-based per-doc positions over the FILTERED token stream —
     * the positional twin of [[toksCte]] for the proximity / snippet /

@@ -104,11 +104,17 @@ object IndexBuilder {
 
   /** Doc-local (term -> tf, positions) aggregation; positions ascend by
     * construction (single left-to-right pass, ≙ ActiveBlock::push appending
-    * monotone docIds per tag, block.rs:384-386).
+    * monotone docIds per tag, block.rs:384-386). `analyzer` selects the
+    * term extractor (IndexOptions.analyzer): "word" tokens or character
+    * trigrams over the same downstream machinery.
     */
-  def termEntriesUdf(withPositions: Boolean): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def termEntriesUdf(withPositions: Boolean,
+      analyzer: String = IndexOptions.WordAnalyzer): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val trigram = analyzer == IndexOptions.TrigramAnalyzer
     udf { (text: String) =>
-      val ts = Tokenize.tokenizeScala(if (text == null) "" else text)
+      val in = if (text == null) "" else text
+      val ts = if (trigram) graft.text.Trigram.gramsScala(in)
+        else Tokenize.tokenizeScala(in)
       val m = new java.util.HashMap[String, IntBuf]()
       var i = 0
       while (i < ts.length) {
@@ -126,6 +132,7 @@ object IndexBuilder {
       }
       DocEntries(ts.length, out.toSeq)
     }
+  }
 
   /** Per-phase build timing, printed when GRAFT_BUILD_TIMING is set —
     * observability for exactly the "which stage stopped scaling" question.
@@ -159,7 +166,7 @@ object IndexBuilder {
       opts: IndexOptions = IndexOptions(),
       streamBatch: Long = -1L): IndexManifest = {
     hadoopDelete(spark, dir)
-    val m0 = IndexManifest(Version, Tokenize.Version, opts.docsPerSegment,
+    val m0 = IndexManifest(Version, opts.tokenizerStamp, opts.docsPerSegment,
       opts.blockSize, opts.withPositions, Nil)
     // buildWave writes the wave's termstats too (data before manifest)
     val w = buildWave(spark, docs, dir, 0, opts, enforceBase = None, enforceMinTs = None)
@@ -174,7 +181,8 @@ object IndexBuilder {
   def append(spark: SparkSession, docs: DataFrame, dir: String,
       streamBatch: Long = -1L): IndexManifest = {
     val m0 = ManifestIO.read(dir)
-    val opts = IndexOptions(m0.docsPerSegment, m0.blockSize, m0.withPositions)
+    val opts = IndexOptions(m0.docsPerSegment, m0.blockSize, m0.withPositions,
+      IndexOptions.analyzerOf(m0.tokenizer))
     val wave = if (m0.waves.isEmpty) 0 else m0.waves.map(_.wave).max + 1
     // Clean any stale (uncommitted) data for this wave id before writing:
     // data-then-manifest ordering makes this safe on resume.
@@ -220,7 +228,7 @@ object IndexBuilder {
     // rows are converted to index form exactly once (block.rs:372-387).
     val entries = base.select($"docId", $"key", $"ts",
       ($"docId" / lit(dps)).cast(LongType).as("segId"),
-      termEntriesUdf(withPositions)($"text").as("de"))
+      termEntriesUdf(withPositions, opts.analyzer)($"text").as("de"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     phase("tokenize+persist")(entries.count())
 

@@ -49,12 +49,37 @@ final case class TermStats(term: String, df: Long, tf: Long, maxTf: Int)
 
 /** Build-time knobs. `docsPerSegment` bounds the docId range of one segment
   * (the merge/intersection unit); `withPositions` enables phrase queries at
-  * the cost of position bytes.
+  * the cost of position bytes; `analyzer` selects the term extractor —
+  * "word" (Tokenize spec v1, BM25/boolean search) or "trigram" (Trigram
+  * spec v1, exact substring search) — over the SAME posting machinery.
+  * The manifest's `tokenizer` field records the choice (word indexes keep
+  * the historical bare Tokenize.Version stamp), so `append` waves can never
+  * mix analyzers within one index.
   */
 final case class IndexOptions(
     docsPerSegment: Long = 1L << 20,
     blockSize: Int = 128,
-    withPositions: Boolean = true)
+    withPositions: Boolean = true,
+    analyzer: String = IndexOptions.WordAnalyzer) {
+  require(analyzer == IndexOptions.WordAnalyzer
+    || analyzer == IndexOptions.TrigramAnalyzer,
+    s"unknown analyzer '$analyzer' (word | trigram)")
+
+  /** Manifest `tokenizer` stamp for this analyzer. */
+  def tokenizerStamp: String =
+    if (analyzer == IndexOptions.TrigramAnalyzer)
+      s"trigram-${graft.text.Trigram.Version}"
+    else graft.text.Tokenize.Version
+}
+
+object IndexOptions {
+  val WordAnalyzer = "word"
+  val TrigramAnalyzer = "trigram"
+
+  /** Inverse of [[IndexOptions.tokenizerStamp]] for reopening an index. */
+  def analyzerOf(tokenizerStamp: String): String =
+    if (tokenizerStamp.startsWith("trigram")) TrigramAnalyzer else WordAnalyzer
+}
 
 /** One committed LSM wave (≙ one flushed+compacted block file of the
   * reference, /root/reference/src/storage/storage.rs:336-358, but committed

@@ -318,6 +318,174 @@ class Searcher(val spark: SparkSession, val dir: String,
     else expandedUnion(col("term").isin(matched: _*))
   }
 
+  /** Exact substring search over a trigram-analyzed index — the Google Code
+    * Search / Zoekt plan (Cox, "Regular Expression Matching with a Trigram
+    * Index", 2012; public swtch.com/~rsc/regexp/regexp4.html): a document
+    * contains `needle` only if it contains EVERY 3-char window of it, so the
+    * rarest `maxPlanTerms` windows (by dictionary df — a driver-side
+    * metadata lookup) are intersected through the ordinary posting path
+    * (`and`), and only the surviving candidates' source rows are verified
+    * with the codegen'd `Contains` predicate. The trigram conjunction is
+    * NECESSARY, never sufficient (windows can match discontiguously), and
+    * the verify pass is exact — so the prefilter only ever changes cost.
+    *
+    * Plan shape at scale: small candidate sets (the normal case for a
+    * selective needle) collapse to ZERO joins — the candidate docId set
+    * pushes into the docmeta scan (row-group skipping) and the recovered
+    * key set pushes into the corpus scan as an `In` filter; oversized
+    * candidate sets degrade to one left-semi join against the corpus.
+    * Needles shorter than one window fall back to the full verify scan
+    * (still exact; a trigram index simply cannot help them — Zoekt does the
+    * same). A needle with any zero-df window returns empty without touching
+    * the corpus or a single posting blob (stats-only dictionary lookup).
+    *
+    * `corpus` must be the table the index was built over, `idCol` the
+    * column `IndexCache`-style builds stamp into docmeta `key` (string-cast
+    * equality).
+    */
+  def substring(needle: String, corpus: DataFrame, idCol: String,
+      textCol: String, maxPlanTerms: Int = 4,
+      pushdownLimit: Int = 4096): DataFrame =
+    substringRows(needle, corpus, idCol, textCol, maxPlanTerms, pushdownLimit)
+      .select(col(idCol))
+
+  /** Multi-literal substring search — the pure-alternation regex case of
+    * the trigram-index plan ("lit1|lit2|...": Cox 2012 §"OR of literals"):
+    * docs containing ANY of `needles`. Each needle contributes its rarest
+    * `maxPlanTerms` windows, and ONE posting fetch serves every needle's
+    * conjunction (the `In` pushdown carries the union of all chosen
+    * windows); per segment, each needle's window lists are intersected and
+    * the matches unioned with a hash-set dedup — disjoint segment docId
+    * ranges make that a global dedup for free, the [[expandedUnion]]
+    * discipline. Needles with a zero-df window drop out at the stats
+    * lookup; a sub-window needle forces the exact full verify scan (the
+    * index cannot bound it — same fallback as [[substring]]). The verify
+    * pass ORs the codegen'd `Contains` predicates, so the result is exactly
+    * the union of the per-needle exact relations.
+    */
+  def substringAny(needles: Seq[String], corpus: DataFrame, idCol: String,
+      textCol: String, maxPlanTerms: Int = 4,
+      pushdownLimit: Int = 4096): DataFrame = {
+    require(needles.nonEmpty && needles.forall(_.nonEmpty), "empty needle")
+    require(manifest.tokenizer.startsWith("trigram"),
+      s"substring search needs a trigram-analyzed index; this one is " +
+        s"'${manifest.tokenizer}' (IndexOptions.analyzer = \"trigram\")")
+    val distinctNeedles = needles.distinct
+    val verified = distinctNeedles.map(n => col(textCol).contains(n))
+      .reduce(_ || _)
+    if (distinctNeedles.exists(_.length < graft.text.Trigram.N))
+      return corpus.where(verified).select(col(idCol))
+    val gramsByNeedle = distinctNeedles.map(n =>
+      graft.text.Trigram.gramsScala(n).toIndexedSeq.distinct)
+    val stats = termStats(gramsByNeedle.flatten.distinct)
+    // a needle with any zero-df window can match nothing: drop its plan
+    val plans: Array[Array[String]] = gramsByNeedle
+      .filter(_.forall(stats.contains))
+      .map(gs => gs.sortBy(g => stats(g).df)
+        .take(math.max(1, maxPlanTerms)).toArray)
+      .toArray
+    if (plans.isEmpty) return corpus.where(lit(false)).select(col(idCol))
+    val allGrams = plans.flatten.distinct.toIndexedSeq
+    val candidates = postings(allGrams)
+      .groupByKey(sp => (sp.wave, sp.segId))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[SegmentPosting]) =>
+        val byTerm = it.toSeq.groupBy(_.term)
+        val decoded = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        def docsOf(t: String): Array[Long] = decoded.getOrElseUpdate(t,
+          byTerm.get(t).map(Searcher.mergeRunDocs).getOrElse(Array.empty))
+        val seen = new java.util.HashSet[java.lang.Long]()
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        plans.foreach { g =>
+          if (g.forall(byTerm.contains)) {
+            Searcher.intersect(g.map(docsOf)).foreach { d =>
+              if (seen.add(d)) out += d
+            }
+          }
+        }
+        out.iterator
+      }.toDF("docId")
+    verifiedRows(candidates, corpus, idCol, verified, pushdownLimit)
+      .select(col(idCol))
+  }
+
+  /** Substring occurrence top-k: the `k` docs with the most (non-
+    * overlapping, leftmost-first — `replace` semantics in Spark and every
+    * SQL engine) occurrences of `needle`, ties by id asc. The trigram plan
+    * bounds WHERE counting happens: occurrence arithmetic
+    * (length - length(replace))/|needle| — all codegen'd built-ins — runs
+    * only on verified candidate rows, and the selection is a TakeOrdered,
+    * never a global sort.
+    */
+  def substringTopK(needle: String, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, maxPlanTerms: Int = 4,
+      pushdownLimit: Int = 4096): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hits = ((length(col(textCol)) -
+      length(replace(col(textCol), lit(needle), lit("")))) /
+      needle.length).cast("long").as("hits")
+    substringRows(needle, corpus, idCol, textCol, maxPlanTerms, pushdownLimit)
+      .select(col(idCol), hits)
+      .orderBy(col("hits").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[substring]]'s verified candidate ROWS (all corpus columns) — the
+    * shared core of the projection variants above.
+    */
+  private def substringRows(needle: String, corpus: DataFrame, idCol: String,
+      textCol: String, maxPlanTerms: Int, pushdownLimit: Int): DataFrame = {
+    require(needle.nonEmpty, "empty needle")
+    require(manifest.tokenizer.startsWith("trigram"),
+      s"substring search needs a trigram-analyzed index; this one is " +
+        s"'${manifest.tokenizer}' (IndexOptions.analyzer = \"trigram\")")
+    val verified = col(textCol).contains(needle)
+    if (needle.length < graft.text.Trigram.N) return corpus.where(verified)
+    val grams = graft.text.Trigram.gramsScala(needle).toIndexedSeq.distinct
+    val stats = termStats(grams)
+    if (grams.exists(g => !stats.contains(g))) return corpus.where(lit(false))
+    val chosen = grams.sortBy(g => stats(g).df)
+      .take(math.max(1, maxPlanTerms))
+    verifiedRows(and(chosen), corpus, idCol, verified, pushdownLimit)
+  }
+
+  /** Candidate docIds -> verified corpus rows. Small candidate sets (the
+    * normal case) collapse to ZERO joins: the docId set pushes into the
+    * docmeta scan (row-group skipping) and the recovered key set into the
+    * corpus scan as an `In` filter. Oversized sets degrade to one left-semi
+    * join against the corpus. `verified` re-checks the match on source
+    * text, so the prefilter only ever changes cost, never the result.
+    */
+  private def verifiedRows(cand: DataFrame, corpus: DataFrame, idCol: String,
+      verified: org.apache.spark.sql.Column, pushdownLimit: Int): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
+    val head = cand.limit(pushdownLimit + 1).collect().map(_.getLong(0))
+    if (head.isEmpty) corpus.where(lit(false))
+    else if (head.length <= pushdownLimit) {
+      val keys = docMeta.where(col("docId").isin(head.toIndexedSeq: _*))
+        .select("key").as[String].collect()
+      // literals are parsed to the id column's OWN type: an In over
+      // cast(idCol AS string) does NOT reach the parquet scan (the cast
+      // blocks translation to a data-source filter — PlanSpec caught
+      // exactly that plan), while a typed In pushes as In(idCol, ...)
+      val inPred = idType match {
+        case LongType => col(idCol).isin(keys.map(_.toLong).toIndexedSeq: _*)
+        case IntegerType => col(idCol).isin(keys.map(_.toInt).toIndexedSeq: _*)
+        case StringType => col(idCol).isin(keys.toIndexedSeq: _*)
+        case _ => col(idCol).cast("string").isin(keys.toIndexedSeq: _*)
+      }
+      corpus.where(inPred && verified)
+    } else {
+      // candidate set too large to collect: one semi-join, then verify.
+      // The cast lands on the candidate (small) side so the corpus join
+      // key stays the raw column.
+      val keyed = docMeta.select(col("docId").as("__cid"), col("key"))
+        .join(cand, col("__cid") === cand("docId"), "left_semi")
+        .select(col("key").cast(idType).as("__key"))
+      corpus.join(keyed, corpus(idCol) === keyed("__key"), "left_semi")
+        .where(verified)
+    }
+  }
+
   /** Union of all docIds under a multi-term dictionary predicate. DocIds
     * are deduped per segment in a hash set (a doc can match several
     * expanded terms); segments own disjoint docId ranges, so the results

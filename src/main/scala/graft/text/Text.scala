@@ -84,6 +84,38 @@ object Tokenize {
   }
 }
 
+/** Character-trigram analyzer (spec v1) — the alternate index analyzer
+  * behind exact substring search (Searcher.substring), the classic
+  * trigram-index design of Google Code Search / Zoekt: index every 3-char
+  * window of the RAW text (no case folding, no separator splitting —
+  * byte-faithful to the stored text, so "contains substring" is exactly
+  * "contains every window of the needle"). Position i of token i is the
+  * window's char offset, which would support in-index adjacency
+  * verification; the substring path instead verifies candidates against
+  * the source text, so trigram indexes are normally built
+  * withPositions=false (half the bytes).
+  *
+  * The reference ingests opaque pre-split tags (/root/reference/src/
+  * storage/storage.rs:198) — an analyzer is just a different tag extractor
+  * over the same posting machinery, which is precisely how this object is
+  * wired (IndexOptions.analyzer).
+  */
+object Trigram {
+  val Version = "v1"
+  val N = 3
+
+  /** All 3-char windows of `s` in order; length < 3 -> empty (such strings
+    * are findable only by the caller's full-scan fallback).
+    */
+  def gramsScala(s: String): Array[String] = {
+    if (s == null || s.length < N) return Array.empty
+    val out = new Array[String](s.length - N + 1)
+    var i = 0
+    while (i <= s.length - N) { out(i) = s.substring(i, i + N); i += 1 }
+    out
+  }
+}
+
 /** Deterministic html -> text extraction (spec v1).
   *
   * v1 rules, applied in order on the UTF-8 decoded html string:

@@ -218,4 +218,29 @@ class PlanSpec extends SparkSpec {
     assert(shards.zip(shards.tail).forall { case (a, b) => a <= b }, "monotone")
     assert(shards.head == 0L)
   }
+
+  test("substring small path pushes the candidate key set into the corpus scan") {
+    // the verify pass must be an In-pushdown parquet scan over the
+    // candidate ids, not a corpus-wide contains() filter or a join
+    val corpusDir = scratch("planspec-substr-corpus")
+    (0L until 400L)
+      .map(i => (i, if (i % 7 == 0) s"xx needle$i yy" else s"plain row $i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val triDir = scratch("planspec-substr-tri")
+    IndexBuilder.build(spark,
+      corpus.select(col("doc_id").as("docId"),
+        col("doc_id").cast("string").as("key"), col("text")),
+      triDir, IndexOptions(docsPerSegment = 128, withPositions = false,
+        analyzer = IndexOptions.TrigramAnalyzer))
+    val result = new Searcher(spark, triDir)
+      .substring("needle7", corpus, "doc_id", "text")
+    val plan = result.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse("")
+    assert(pushed.contains("In(doc_id, [7,70,77])"), plan)
+    assert(!plan.contains("Join"), plan)
+    // multiples of 7 below 400 whose digits start with "7": 7, 70, 77
+    assert(result.as[Long].collect().toSet == Set(7L, 70L, 77L))
+  }
 }

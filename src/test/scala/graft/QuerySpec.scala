@@ -262,4 +262,120 @@ class QuerySpec extends SparkSpec {
     assertThrows[graft.query.QueryParser.ParseException](
       s.query(s"$head OR NOT $mid"))
   }
+
+  // ---- substring search over the trigram-analyzed index ------------------
+
+  // substring verification matches corpus rows via string(idCol) ==
+  // docmeta.key, so the trigram fixture stamps key = docId (the main
+  // fixture's key is the url). ts dropped: the docId halves used by the
+  // append test interleave in time, and substring needs no time travel
+  private lazy val triDocs =
+    docs.drop("ts").withColumn("key", col("docId").cast("string"))
+  private lazy val triDir = {
+    val dd = scratch("queryspec-tri")
+    IndexBuilder.build(spark, triDocs, dd, IndexOptions(docsPerSegment = 512,
+      withPositions = false, analyzer = IndexOptions.TrigramAnalyzer))
+    dd
+  }
+  private lazy val tri = new Searcher(spark, triDir)
+
+  private def containsSet(needle: String): Set[Long] =
+    docSet(docs.where(col("text").contains(needle)))
+
+  test("trigram windows: count, content, and short-input emptiness") {
+    import graft.text.Trigram
+    assert(Trigram.gramsScala(null).isEmpty)
+    assert(Trigram.gramsScala("").isEmpty)
+    assert(Trigram.gramsScala("ab").isEmpty)
+    assert(Trigram.gramsScala("abc").toSeq == Seq("abc"))
+    val s0 = "a b\tC0!"
+    val got = Trigram.gramsScala(s0)
+    assert(got.length == s0.length - 2)
+    assert(got.indices.forall(i => got(i) == s0.substring(i, i + 3)))
+  }
+
+  test("substring equals brute-force contains across selectivities") {
+    val sample = docs.orderBy("docId").select("text").as[String].head()
+    val needles = Seq(
+      sample.substring(3, 17), // a real cross-token span incl. a space
+      "term0",                 // low-selectivity: nearly every doc
+      "term0700",              // one tail token
+      "zz@@never-there")       // absent gram -> stats-only empty
+    for (n <- needles)
+      assert(docSet(tri.substring(n, docs, "docId", "text")) == containsSet(n),
+        s"needle='$n'")
+  }
+
+  test("needles shorter than one window fall back to the exact verify scan") {
+    for (n <- Seq("rm", "7"))
+      assert(docSet(tri.substring(n, docs, "docId", "text")) == containsSet(n), n)
+  }
+
+  test("trigram conjunction is necessary-not-sufficient; verify pass prunes") {
+    // a needle stitched from windows that all exist somewhere in the corpus
+    // but (almost surely) never contiguously: candidates must be a superset
+    // of the exact result, and substring() must return exactly the latter
+    val needle = "term0700 term0000"
+    val grams = graft.text.Trigram.gramsScala(needle).toIndexedSeq.distinct
+    val stats = tri.termStats(grams)
+    val exact = containsSet(needle)
+    assert(docSet(tri.substring(needle, docs, "docId", "text")) == exact)
+    if (grams.forall(stats.contains)) {
+      val candidates = docSet(tri.and(
+        grams.sortBy(g => stats(g).df).take(4)))
+      assert(exact.subsetOf(candidates))
+    }
+  }
+
+  test("substringAny equals the union of contains; absent needle drops out") {
+    val needles = Seq("term0700", "term0100 term", "zz@absent")
+    val naive = needles.map(containsSet).reduce(_ ++ _)
+    assert(docSet(tri.substringAny(needles, docs, "docId", "text")) == naive)
+    // every needle absent -> empty from the stats lookup alone
+    assert(tri.substringAny(Seq("zz@absent"), docs, "docId", "text").count() == 0)
+    // one sub-window needle forces the exact full verify scan
+    val withShort = Seq("term0700", "x7")
+    assert(docSet(tri.substringAny(withShort, docs, "docId", "text"))
+      == withShort.map(containsSet).reduce(_ ++ _))
+  }
+
+  test("substringTopK equals the ranked occurrence oracle on both join paths") {
+    val needle = "term0"
+    def occ(s: String, n: String): Long = {
+      var c = 0L
+      var i = s.indexOf(n)
+      while (i >= 0) { c += 1; i = s.indexOf(n, i + n.length) }
+      c
+    }
+    val exact = docs.select(col("docId"), col("text")).as[(Long, String)]
+      .collect().map { case (d, t) => (d, occ(t, needle)) }
+      .filter(_._2 > 0)
+      .sortBy { case (d, h) => (-h, d) }.take(10).toSeq
+    for (limit <- Seq(4096, 8)) { // pushdown path, then semi-join fallback
+      val got = tri.substringTopK(needle, docs, "docId", "text", 10,
+        pushdownLimit = limit)
+        .select(col("docId").cast("long"), col("hits"))
+        .as[(Long, Long)].collect().toSeq
+      assert(got == exact, s"pushdownLimit=$limit")
+    }
+  }
+
+  test("substring on a word-analyzed index is rejected loudly") {
+    assertThrows[IllegalArgumentException](
+      s.substring("term", docs, "docId", "text"))
+  }
+
+  test("append to a trigram index keeps the analyzer (manifest round-trip)") {
+    val dd = scratch("queryspec-tri-append")
+    val lo = triDocs.where(col("docId") < N / 2)
+    val hi = triDocs.where(col("docId") >= N / 2)
+    IndexBuilder.build(spark, lo, dd, IndexOptions(docsPerSegment = 512,
+      withPositions = false, analyzer = IndexOptions.TrigramAnalyzer))
+    IndexBuilder.append(spark, hi, dd)
+    val se = new Searcher(spark, dd)
+    assert(se.manifest.tokenizer.startsWith("trigram"))
+    val needle = "term0700"
+    assert(docSet(se.substring(needle, docs, "docId", "text"))
+      == containsSet(needle))
+  }
 }
