@@ -531,7 +531,20 @@ object SparkEntry {
     "q50_ii_substring_topk" -> ((s, dir) =>
       new Searcher(s, IndexCache.trigram(s, dir))
         .substringTopK("order", s.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", "text", k = 20, pushdownLimit = 256)))
+          "doc_id", "text", k = 20, pushdownLimit = 256)),
+    // wildcard term match: 's%a%' expands to scan/small/spark/stream on
+    // this vocab; the literal prefix pushes StringStartsWith, the LIKE
+    // runs in the stats-pruned dictionary scan (Searcher.wildcard)
+    "q51_ii_wildcard" -> ((s, dir) =>
+      IndexCache.searcher(s, dir).wildcard("s%a%")
+        .select(col("docId").as("doc_id"))),
+    // collocation mining: top-30 bigrams by PMI (min count 25) — one
+    // kind-tagged tokenize pass feeds both count tables, unigrams join
+    // broadcast, selection is a TakeOrdered (TextAnalysis.collocations)
+    "q52_text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(
+        s.read.parquet(s"$dir/documents.parquet"), "text",
+        minCount = 25, topN = 30)))
 
   /** Deterministic multi-line augmentation for q44 — mirrored verbatim in
     * the oracle SQL so both sides dedup the identical 3-line documents.
@@ -963,7 +976,22 @@ object SparkEntry {
     "q50_ii_substring_topk" ->
       ("SELECT doc_id, CAST((length(text) - length(replace(text, 'order', ''))) / 5 AS BIGINT) AS hits " +
         "FROM documents WHERE contains(text, 'order') " +
-        "ORDER BY hits DESC, doc_id LIMIT 20"))
+        "ORDER BY hits DESC, doc_id LIMIT 20"),
+    "q51_ii_wildcard" ->
+      (s"$toksCte SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%a%'"),
+    "q52_text_collocations" ->
+      (s"$posToksCte, " +
+        "big AS (SELECT a.term || ' ' || b.term AS bigram, a.term AS ta, " +
+        "b.term AS tb, count(*) AS cnt FROM t a JOIN t b " +
+        "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2, 3), " +
+        "uni AS (SELECT term, count(*) AS c FROM t GROUP BY term), " +
+        "tot AS (SELECT (SELECT count(*) FROM t) * 1.0 AS t_tok, " +
+        "(SELECT sum(cnt) FROM big) * 1.0 AS t_bi) " +
+        "SELECT bigram, CAST(cnt AS BIGINT) AS cnt, " +
+        "round(ln((cnt / t_bi) / ((ua.c / t_tok) * (ub.c / t_tok))), 4) AS pmi " +
+        "FROM big JOIN uni ua ON ua.term = big.ta " +
+        "JOIN uni ub ON ub.term = big.tb CROSS JOIN tot " +
+        "WHERE cnt >= 25 ORDER BY pmi DESC, bigram LIMIT 30"))
 
   /** toks with 0-based per-doc positions over the FILTERED token stream —
     * the positional twin of [[toksCte]] for the proximity / snippet /

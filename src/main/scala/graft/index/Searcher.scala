@@ -296,6 +296,23 @@ class Searcher(val spark: SparkSession, val dir: String,
     expandedUnion(col("term").startsWith(p))
   }
 
+  /** Wildcard term query: docIds containing ANY dictionary term matching
+    * the SQL LIKE pattern (`%` any run, `_` one char — e.g. "s%a%",
+    * "b_g"). The LIKE predicate evaluates in the stats-pruned dictionary
+    * scan; a literal prefix before the first wildcard additionally pushes
+    * `StringStartsWith` into the term-sorted segment files, narrowing the
+    * scan to the dictionary range the reference's BTreeMap would seek
+    * (block.rs:389-405) — the same two-level plan as [[prefix]], of which
+    * this is the general form (a trailing-only wildcard IS a prefix query).
+    */
+  def wildcard(pattern: String): DataFrame = {
+    require(pattern.nonEmpty, "empty pattern")
+    val prefix = pattern.takeWhile(c => c != '%' && c != '_')
+    val like = col("term").like(pattern)
+    expandedUnion(
+      if (prefix.nonEmpty) col("term").startsWith(prefix) && like else like)
+  }
+
   /** Fuzzy term query ("did you mean" matching): docIds containing ANY
     * dictionary term within Levenshtein distance `maxDist` of `t`. Two
     * phases, the classic fuzzy-expansion plan: (1) a stats-only dictionary

@@ -296,4 +296,59 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(topN)
   }
+
+  /** Top-n collocations by pointwise mutual information:
+    * pmi(a b) = ln( (c_ab / T_bi) / ((c_a / T_tok) * (c_b / T_tok)) ),
+    * over bigrams with c_ab >= minCount (the classic PMI low-count guard),
+    * ties by bigram text. ONE tokenize pass per doc emits its token AND
+    * bigram streams (kind-tagged), so a single explode + hash aggregate
+    * produces both count tables — vocab-sized, persisted for its two
+    * consumers instead of re-scanning the corpus. Unigram counts join
+    * BROADCAST (a term dictionary always fits), totals are a 2-row driver
+    * collect of exact integers, and the final selection is a TakeOrdered.
+    * The PMI expression is written in exactly the oracle's operation order
+    * so both engines round the identical IEEE double.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      topN: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topN > 0, "topN must be positive")
+    val u = udf { (s: String) =>
+      if (s == null) Array.empty[(Int, String)]
+      else {
+        val ts = Tokenize.tokenizeScala(s)
+        val n = ts.length
+        val out = new Array[(Int, String)](if (n == 0) 0 else 2 * n - 1)
+        var i = 0
+        while (i < n) { out(i) = (0, ts(i)); i += 1 }
+        while (i < out.length) {
+          out(i) = (1, ts(i - n) + " " + ts(i - n + 1)); i += 1
+        }
+        out
+      }
+    }
+    val grams = df.select(explode(u(col(textCol))).as("g"))
+      .select(col("g._1").as("kind"), col("g._2").as("gram"))
+      .groupBy(col("kind"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val totals = grams.groupBy(col("kind")).agg(sum(col("cnt")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tTok = totals.getOrElse(0, 0L).toDouble
+    val tBi = totals.getOrElse(1, 0L).toDouble
+    val toks = grams.where(col("kind") === 0)
+    val ta = toks.select(col("gram").as("a"), col("cnt").as("ca"))
+    val tb = toks.select(col("gram").as("b"), col("cnt").as("cb"))
+    grams.where(col("kind") === 1 && col("cnt") >= minCount)
+      .select(col("gram").as("bigram"), col("cnt"),
+        split(col("gram"), " ").getItem(0).as("a"),
+        split(col("gram"), " ").getItem(1).as("b"))
+      .join(broadcast(ta), Seq("a"))
+      .join(broadcast(tb), Seq("b"))
+      .select(col("bigram"), col("cnt").cast("long").as("cnt"),
+        round(log((col("cnt") / lit(tBi)) /
+          ((col("ca") / lit(tTok)) * (col("cb") / lit(tTok)))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topN)
+  }
 }

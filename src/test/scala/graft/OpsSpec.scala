@@ -964,6 +964,21 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(("a b", 2L), ("c d", 2L), ("b a", 1L)))
   }
 
+  test("collocations: hand-computed PMI, tie order, and the min-count guard") {
+    // tokens a:3 b:2 c:1 (T_tok 6); bigrams "a b":2 "a c":1 (T_bi 3)
+    // pmi(a b) = ln((2/3)/((3/6)*(2/6))) = ln 4; pmi(a c) = ln((1/3)/
+    // ((3/6)*(1/6))) = ln 4 — equal, so the tie breaks on bigram text
+    val df = Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(df, "text", minCount = 1, topN = 10)
+      .as[(String, Long, Double)].collect().toSeq
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("a b", 2L, ln4), ("a c", 1L, ln4)))
+    val filtered = TextAnalysis.collocations(df, "text", minCount = 2, topN = 10)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(filtered == Seq(("a b", 2L, ln4)))
+  }
+
   test("dedupLines strips cross-doc lines, keeps order, handles all-boilerplate docs") {
     val df = Seq(
       (0L, "shared header\nunique zero\nshared footer"),

@@ -171,6 +171,17 @@ class QuerySpec extends SparkSpec {
     assert(s.suggest("nosuchprefix", 5).count() == 0)
   }
 
+  test("wildcard equals the naive LIKE filter; trailing-only form equals prefix") {
+    for (p <- Seq("term0_4%", "%0042", "term01%")) {
+      val naive = docSet(toks.where(col("term").like(p)).distinct())
+      val got = s.wildcard(p)
+      assert(docSet(got) == naive, p)
+      assert(got.count() == naive.size, s"per-segment dedup must hold: $p")
+    }
+    assert(docSet(s.wildcard("term01%")) == docSet(s.prefix("term01")))
+    assert(s.wildcard("zz%zz").count() == 0)
+  }
+
   test("fuzzy equals the naive levenshtein filter; empty ball -> empty result") {
     // term0040's distance-1 ball under the termNNNN vocab is every
     // single-digit variant present in the corpus (term0041, term0090, ...)
