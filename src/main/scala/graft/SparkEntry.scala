@@ -544,7 +544,19 @@ object SparkEntry {
     "q52_text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(
         s.read.parquet(s"$dir/documents.parquet"), "text",
-        minCount = 25, topN = 30)))
+        minCount = 25, topN = 30)),
+    // substring KWIC: first-occurrence position + a 12-char context window,
+    // snippet arithmetic only on verified trigram candidates
+    "q53_ii_substring_kwic" -> ((s, dir) =>
+      new Searcher(s, IndexCache.trigram(s, dir))
+        .substringKwic("order sort", s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", window = 12)),
+    // per-doc TF-IDF keyword extraction WITHOUT a window function: the
+    // rank-3 selection is a bounded heap per doc (TextAnalysis.keywords);
+    // the oracle is the row_number formulation of the same ranking
+    "q54_text_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)))
 
   /** Deterministic multi-line augmentation for q44 — mirrored verbatim in
     * the oracle SQL so both sides dedup the identical 3-line documents.
@@ -991,7 +1003,24 @@ object SparkEntry {
         "round(ln((cnt / t_bi) / ((ua.c / t_tok) * (ub.c / t_tok))), 4) AS pmi " +
         "FROM big JOIN uni ua ON ua.term = big.ta " +
         "JOIN uni ub ON ub.term = big.tb CROSS JOIN tot " +
-        "WHERE cnt >= 25 ORDER BY pmi DESC, bigram LIMIT 30"))
+        "WHERE cnt >= 25 ORDER BY pmi DESC, bigram LIMIT 30"),
+    "q53_ii_substring_kwic" ->
+      ("WITH m AS (SELECT doc_id, text, instr(text, 'order sort') AS p " +
+        "FROM documents WHERE contains(text, 'order sort')) " +
+        "SELECT doc_id, CAST(p AS BIGINT) AS pos, " +
+        "substr(text, greatest(1, p - 12), " +
+        "least(length(text), p + 9 + 12) - greatest(1, p - 12) + 1) AS snippet " +
+        "FROM m"),
+    "q54_text_keywords" ->
+      (s"$toksCte, tf AS (SELECT doc_id, term, count(*) AS tf FROM toks " +
+        "GROUP BY 1, 2), " +
+        "dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "nn AS (SELECT count(*) * 1.0 AS n FROM documents), " +
+        "sc AS (SELECT doc_id, term, round(tf * ln(n / df), 4) AS score " +
+        "FROM tf JOIN dfx USING (term) CROSS JOIN nn), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, term) AS rn FROM sc) " +
+        "SELECT doc_id, term, score FROM r WHERE rn <= 3"))
 
   /** toks with 0-based per-doc positions over the FILTERED token stream —
     * the positional twin of [[toksCte]] for the proximity / snippet /

@@ -446,6 +446,25 @@ class Searcher(val spark: SparkSession, val dir: String,
       .limit(k)
   }
 
+  /** Substring KWIC: each matching doc's FIRST occurrence position
+    * (1-based) plus a character window of `window` chars on both sides —
+    * the "show the match in context" surface of [[substring]]. Snippet
+    * arithmetic is pure codegen'd built-ins (instr / greatest / least /
+    * substr with identical 1-based semantics in Spark and SQL engines) and
+    * runs only on verified candidate rows.
+    */
+  def substringKwic(needle: String, corpus: DataFrame, idCol: String,
+      textCol: String, window: Int, maxPlanTerms: Int = 4,
+      pushdownLimit: Int = 4096): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    val p = instr(col(textCol), needle)
+    val start = greatest(lit(1), p - window)
+    val end = least(length(col(textCol)), p + (needle.length - 1) + window)
+    substringRows(needle, corpus, idCol, textCol, maxPlanTerms, pushdownLimit)
+      .select(col(idCol), p.cast("long").as("pos"),
+        col(textCol).substr(start, end - start + 1).as("snippet"))
+  }
+
   /** [[substring]]'s verified candidate ROWS (all corpus columns) — the
     * shared core of the projection variants above.
     */

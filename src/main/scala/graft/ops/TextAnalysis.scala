@@ -351,4 +351,48 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("bigram").asc)
       .limit(topN)
   }
+
+  /** Per-doc keyword extraction: each doc's top-`k` terms by
+    * tf * ln(N / df), ties by term asc — with NO window function. The
+    * rank-k selection runs as a bounded k-heap per doc inside
+    * `groupByKey(doc).flatMapGroups`: the shuffle carries the (doc, term,
+    * score) rows the tf aggregation already produced (per-key volume is a
+    * doc's distinct-term count — bounded by doc length, so no skew), and
+    * memory per key is O(k) instead of the full sorted partition a
+    * row_number window needs. df joins BROADCAST (term dictionary), N is
+    * one count. Scores are rounded to 4 decimals BEFORE ranking, in the
+    * oracle's exact operation order, so tie-breaks agree across engines.
+    */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count().toDouble
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(Tokenize.col(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf")).persist()
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfx), Seq("term"))
+      .select(col("id"), col("term"),
+        round(col("tf") * log(lit(n) / col("df")), 4).as("score"))
+      .as[(Long, String, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, String, Double)]) =>
+        // bounded selection: keep the k best (score desc, term asc) rows.
+        // ordering in the queue is REVERSED so the head is the current
+        // worst survivor and eviction is O(log k)
+        val ord = Ordering.by[(Long, String, Double), (Double, String)] {
+          case (_, t, s) => (-s, t)
+        }
+        val q = new scala.collection.mutable.PriorityQueue[(Long, String, Double)]()(ord)
+        it.foreach { r =>
+          if (q.size < k) q.enqueue(r)
+          else if (ord.compare(r, q.head) < 0) { q.dequeue(); q.enqueue(r) }
+        }
+        q.dequeueAll.reverse.iterator
+      }
+      .toDF("doc_id", "term", "score")
+  }
 }

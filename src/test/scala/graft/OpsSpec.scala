@@ -979,6 +979,23 @@ class OpsSpec extends SparkSpec {
     assert(filtered == Seq(("a b", 2L, ln4)))
   }
 
+  test("keywords: hand-computed tf-idf ranks, bounded k, rounded-tie order") {
+    // N=3; df a:2 b:2 c:1; idf ln(1.5)=0.4055, ln(3)=1.0986 (rounded 4)
+    val df = Seq((0L, "a a b"), (1L, "b c"), (2L, "a")).toDF("doc_id", "text")
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sA1 = r4(math.log(3.0 / 2)) // tf=1 on a or b
+    val sA2 = r4(2 * math.log(3.0 / 2)) // doc0's a, tf=2
+    val sC = r4(math.log(3.0 / 1))
+    val all = TextAnalysis.keywords(df, "doc_id", "text", k = 3)
+      .as[(Long, String, Double)].collect().toSet
+    assert(all == Set((0L, "a", sA2), (0L, "b", sA1),
+      (1L, "c", sC), (1L, "b", sA1), (2L, "a", sA1)))
+    val top1 = TextAnalysis.keywords(df, "doc_id", "text", k = 1)
+      .as[(Long, String, Double)].collect().toSet
+    assert(top1 == Set((0L, "a", sA2), (1L, "c", sC), (2L, "a", sA1)))
+  }
+
   test("dedupLines strips cross-doc lines, keeps order, handles all-boilerplate docs") {
     val df = Seq(
       (0L, "shared header\nunique zero\nshared footer"),

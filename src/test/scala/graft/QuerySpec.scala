@@ -371,6 +371,25 @@ class QuerySpec extends SparkSpec {
     }
   }
 
+  test("substringKwic equals driver-side string arithmetic") {
+    val needle = "term0700"
+    val w = 12
+    val naive = docs.select(col("docId").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+      .filter(_._2.contains(needle))
+      .map { case (d, t) =>
+        val p = t.indexOf(needle) + 1 // 1-based
+        val lo = math.max(1, p - w)
+        val hi = math.min(t.length, p + needle.length - 1 + w)
+        (d, p.toLong, t.substring(lo - 1, hi))
+      }.toSet
+    val got = tri.substringKwic(needle, docs, "docId", "text", w)
+      .select(col("docId").cast("long"), col("pos"), col("snippet"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == naive)
+    assert(naive.nonEmpty, "fixture needle must occur")
+  }
+
   test("substring on a word-analyzed index is rejected loudly") {
     assertThrows[IllegalArgumentException](
       s.substring("term", docs, "docId", "text"))
