@@ -556,7 +556,15 @@ object SparkEntry {
     // the oracle is the row_number formulation of the same ranking
     "q54_text_keywords" -> ((s, dir) =>
       TextAnalysis.keywords(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)))
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3)),
+    // ordered-parts search (the literal-concatenation regex 'a.*b'):
+    // candidates = ONE conjunction over both parts' rarest windows, verify
+    // = codegen'd RLike — completing the Cox trigram-regex trio with q48
+    // (literal) and q49 (alternation)
+    "q55_ii_substring_ordered" -> ((s, dir) =>
+      new Searcher(s, IndexCache.trigram(s, dir))
+        .substringOrdered(Seq("merge", "window"),
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")))
 
   /** Deterministic multi-line augmentation for q44 — mirrored verbatim in
     * the oracle SQL so both sides dedup the identical 3-line documents.
@@ -1020,7 +1028,9 @@ object SparkEntry {
         "FROM tf JOIN dfx USING (term) CROSS JOIN nn), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY score DESC, term) AS rn FROM sc) " +
-        "SELECT doc_id, term, score FROM r WHERE rn <= 3"))
+        "SELECT doc_id, term, score FROM r WHERE rn <= 3"),
+    "q55_ii_substring_ordered" ->
+      "SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge.*window')")
 
   /** toks with 0-based per-doc positions over the FILTERED token stream —
     * the positional twin of [[toksCte]] for the proximity / snippet /

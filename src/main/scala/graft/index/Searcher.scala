@@ -425,6 +425,43 @@ class Searcher(val spark: SparkSession, val dir: String,
       .select(col(idCol))
   }
 
+  /** Ordered multi-part search — the literal-concatenation regex case
+    * "lit1.*lit2.*..." (Cox 2012: a concatenation's trigram query is the
+    * AND of its parts' queries): docs containing every part IN ORDER,
+    * non-overlapping left to right. Candidates are one conjunction over
+    * the union of every part's rarest windows (a doc matching the regex
+    * contains every part, hence every window — order costs nothing at the
+    * index), and the verify pass is the codegen'd `RLike` on the
+    * quoted-literal pattern (`.*` matches identically across engines on
+    * newline-free atoms: neither Java nor RE2 dot crosses newlines by
+    * default). Sub-window parts are simply left out of the index plan but
+    * stay in the verify regex — only if EVERY part is sub-window does the
+    * query fall back to the full verify scan.
+    */
+  def substringOrdered(parts: Seq[String], corpus: DataFrame, idCol: String,
+      textCol: String, maxPlanTerms: Int = 4,
+      pushdownLimit: Int = 4096): DataFrame = {
+    require(parts.nonEmpty && parts.forall(_.nonEmpty), "empty part")
+    require(manifest.tokenizer.startsWith("trigram"),
+      s"substring search needs a trigram-analyzed index; this one is " +
+        s"'${manifest.tokenizer}' (IndexOptions.analyzer = \"trigram\")")
+    val pattern = parts.map(java.util.regex.Pattern.quote).mkString(".*")
+    val verified = col(textCol).rlike(pattern)
+    val plannable = parts.filter(_.length >= graft.text.Trigram.N)
+    if (plannable.isEmpty) return corpus.where(verified).select(col(idCol))
+    val gramsByPart = plannable.map(p =>
+      graft.text.Trigram.gramsScala(p).toIndexedSeq.distinct)
+    val stats = termStats(gramsByPart.flatten.distinct)
+    // any part with a zero-df window cannot appear -> the ordered match
+    // cannot exist anywhere
+    if (gramsByPart.exists(_.exists(g => !stats.contains(g))))
+      return corpus.where(lit(false)).select(col(idCol))
+    val chosen = gramsByPart.flatMap(gs =>
+      gs.sortBy(g => stats(g).df).take(math.max(1, maxPlanTerms))).distinct
+    verifiedRows(and(chosen), corpus, idCol, verified, pushdownLimit)
+      .select(col(idCol))
+  }
+
   /** Substring occurrence top-k: the `k` docs with the most (non-
     * overlapping, leftmost-first — `replace` semantics in Spark and every
     * SQL engine) occurrences of `needle`, ties by id asc. The trigram plan

@@ -390,6 +390,26 @@ class QuerySpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture needle must occur")
   }
 
+  test("substringOrdered: order-sensitive, equals the regex relation") {
+    // two tokens that co-occur in both orders so the relation is genuinely
+    // order-sensitive (forward != unordered AND)
+    val (a, b) = ("term0000", "term0001")
+    def naive(x: String, y: String): Set[Long] =
+      docSet(docs.where(col("text").rlike(s"$x.*$y")))
+    val fwd = tri.substringOrdered(Seq(a, b), docs, "docId", "text")
+    val rev = tri.substringOrdered(Seq(b, a), docs, "docId", "text")
+    assert(docSet(fwd) == naive(a, b))
+    assert(docSet(rev) == naive(b, a))
+    assert(naive(a, b) != (naive(a, b) ++ naive(b, a)),
+      "fixture must make order matter")
+    // a sub-window part stays in the verify regex but not the plan
+    assert(docSet(tri.substringOrdered(Seq(a, "7"), docs, "docId", "text"))
+      == docSet(docs.where(col("text").rlike(s"$a.*7"))))
+    // absent part -> empty from stats alone
+    assert(tri.substringOrdered(Seq(a, "zz@absent"), docs, "docId", "text")
+      .count() == 0)
+  }
+
   test("substring on a word-analyzed index is rejected loudly") {
     assertThrows[IllegalArgumentException](
       s.substring("term", docs, "docId", "text"))
