@@ -74,6 +74,53 @@ object Soak {
       return
     }
 
+    // ---- SPARK_GRAFT_SOAK_TRIGRAM=1: the trigram analyzer at scale -------
+    // A trigram index carries ~6x the postings per doc of the word index
+    // (one term per char window vs one per token), so this is the postings-
+    // heavy stress of the same machinery: build throughput, bytes/posting,
+    // and substring / ordered-regex latency at real segment fan-out.
+    if (sys.env.get("SPARK_GRAFT_SOAK_TRIGRAM").contains("1")) {
+      val p = Pages.generate(spark, total, 32)
+      val d = IndexBuilder.assignDocIds(spark, p, "url", 0L, 32)
+        .selectExpr("docId", "CAST(docId AS STRING) AS key", "text")
+        .persist()
+      val nd = d.count() // materialize the corpus before timing the build
+      val (m, buildSec) = t(IndexBuilder.build(spark, d, dir,
+        IndexOptions(docsPerSegment = 1L << 14, withPositions = false,
+          analyzer = IndexOptions.TrigramAnalyzer)))
+      val s = new Searcher(spark, dir)
+      val needles =
+        Seq("term0000 term0001", "term0700", "term0123 term0040")
+      val warm = s.substring(needles.head, d, "docId", "text").count()
+      val single = s.substring("term0700", d, "docId", "text").count()
+      require(single > 0, "single-token needle must occur")
+      val lat = (0 until 9).map { i =>
+        val (_, sec) =
+          t(s.substring(needles(i % needles.size), d, "docId", "text").count())
+        sec * 1000
+      }.sorted
+      val (ordN, ordSec) = t(s.substringOrdered(
+        Seq("term0000", "term0700"), d, "docId", "text").count())
+      val idxBytes = {
+        val pth = new org.apache.hadoop.fs.Path(dir)
+        val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(pth).getLength
+      }
+      println(
+        f"""{"soak_trigram_docs":$nd,"build_sec":$buildSec%.1f,""" +
+          f""""docs_per_sec":${nd / buildSec}%.0f,""" +
+          f""""postings":${m.totalTokens},""" +
+          f""""postings_per_sec":${m.totalTokens / buildSec}%.0f,""" +
+          f""""index_bytes":$idxBytes,""" +
+          f""""bytes_per_posting":${idxBytes.toDouble / m.totalTokens}%.2f,""" +
+          f""""substring_p50_ms":${lat(lat.size / 2)}%.0f,""" +
+          f""""substring_max_ms":${lat.last}%.0f,""" +
+          f""""ordered_hits":$ordN,"ordered_ms":${ordSec * 1000}%.0f,""" +
+          f""""single_hits":$single,"warm":$warm}""")
+      spark.stop()
+      return
+    }
+
     // ---- SPARK_GRAFT_SOAK_MINDL_AB=1: fresh-vs-compacted WAND pruning ----
     // The compaction repack cannot recompute exact per-block minDl (per-
     // posting dls are not stored); each posting inherits its SOURCE block's
