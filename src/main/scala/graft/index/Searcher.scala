@@ -676,6 +676,14 @@ class Searcher(val spark: SparkSession, val dir: String,
     */
   def query(q: String): DataFrame = {
     import graft.query.QueryParser
+    // the parser normalizes bare words through the WORD tokenizer, so on a
+    // trigram-analyzed index every leaf would miss its (3-char) dictionary
+    // and the query would silently return empty — fail loudly instead
+    // (substring/substringAny/substringOrdered are the trigram query API)
+    require(!manifest.tokenizer.startsWith("trigram"),
+      "boolean word queries need a word-analyzed index; this one is " +
+        s"'${manifest.tokenizer}' — use substring/substringAny/" +
+        "substringOrdered for trigram indexes")
     val ast = QueryParser.parse(q)
     if (QueryParser.matchesEmptyDoc(ast))
       throw QueryParser.ParseException(

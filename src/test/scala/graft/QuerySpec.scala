@@ -415,6 +415,10 @@ class QuerySpec extends SparkSpec {
       s.substring("term", docs, "docId", "text"))
   }
 
+  test("boolean word queries on a trigram index are rejected, not silently empty") {
+    assertThrows[IllegalArgumentException](tri.query("term0000 AND term0001"))
+  }
+
   test("append to a trigram index keeps the analyzer (manifest round-trip)") {
     val dd = scratch("queryspec-tri-append")
     val lo = triDocs.where(col("docId") < N / 2)
