@@ -564,7 +564,17 @@ object SparkEntry {
     "q55_ii_substring_ordered" -> ((s, dir) =>
       new Searcher(s, IndexCache.trigram(s, dir))
         .substringOrdered(Seq("merge", "window"),
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")))
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+    // percolator (standing queries, retrieval inverted): three saved
+    // searches — conjunction, nested boolean with negation, and a phrase —
+    // evaluated per doc in ONE shuffle-free scan (graft.query.Percolate);
+    // oracle = UNION ALL of each query's set-algebra program
+    "q56_percolate" -> ((s, dir) =>
+      graft.query.Percolate.percolate(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        Map(1 -> "spark AND vector",
+          2 -> "merge OR (sort AND NOT dup)",
+          3 -> "\"order sort\""))))
 
   /** Deterministic multi-line augmentation for q44 — mirrored verbatim in
     * the oracle SQL so both sides dedup the identical 3-line documents.
@@ -1030,7 +1040,19 @@ object SparkEntry {
         "ORDER BY score DESC, term) AS rn FROM sc) " +
         "SELECT doc_id, term, score FROM r WHERE rn <= 3"),
     "q55_ii_substring_ordered" ->
-      "SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge.*window')")
+      "SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge.*window')",
+    "q56_percolate" ->
+      (s"$posToksCte " +
+        "SELECT doc_id, 1 AS query_id FROM " +
+        "(SELECT doc_id FROM t WHERE term = 'spark' INTERSECT " +
+        "SELECT doc_id FROM t WHERE term = 'vector') " +
+        "UNION ALL SELECT doc_id, 2 AS query_id FROM " +
+        "(SELECT doc_id FROM t WHERE term = 'merge' UNION " +
+        "(SELECT doc_id FROM t WHERE term = 'sort' EXCEPT " +
+        "SELECT doc_id FROM t WHERE term = 'dup')) " +
+        "UNION ALL SELECT DISTINCT a.doc_id, 3 AS query_id FROM t a " +
+        "JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
+        "AND a.term = 'order' AND b.term = 'sort'"))
 
   /** toks with 0-based per-doc positions over the FILTERED token stream —
     * the positional twin of [[toksCte]] for the proximity / snippet /

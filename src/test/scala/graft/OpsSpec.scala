@@ -996,6 +996,26 @@ class OpsSpec extends SparkSpec {
     assert(top1 == Set((0L, "a", sA2), (1L, "c", sC), (2L, "a", sA1)))
   }
 
+  test("percolate: hand-computed matches for term/boolean/phrase/prefix queries") {
+    val df = Seq(
+      (0L, "spark vector x"), (1L, "spark"), (2L, "merge a"),
+      (3L, "sort dup"), (4L, "sort b"), (5L, "order sort x"),
+      (6L, "sort order")).toDF("doc_id", "text")
+    val got = graft.query.Percolate.percolate(df, "doc_id", "text",
+      Map(1 -> "spark AND vector",
+        2 -> "merge OR (sort AND NOT dup)",
+        3 -> "\"order sort\"",
+        4 -> "vec* AND NOT dup"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set((0L, 1),
+      (2L, 2), (4L, 2), (5L, 2), (6L, 2),
+      (5L, 3),
+      (0L, 4)))
+    assertThrows[graft.query.QueryParser.ParseException](
+      graft.query.Percolate.percolate(df, "doc_id", "text",
+        Map(1 -> "NOT spark")))
+  }
+
   test("dedupLines strips cross-doc lines, keeps order, handles all-boilerplate docs") {
     val df = Seq(
       (0L, "shared header\nunique zero\nshared footer"),
