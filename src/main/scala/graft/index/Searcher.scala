@@ -307,6 +307,12 @@ class Searcher(val spark: SparkSession, val dir: String,
     */
   def wildcard(pattern: String): DataFrame = {
     require(pattern.nonEmpty, "empty pattern")
+    // an all-wildcard pattern ("%", "_%") selects the ENTIRE dictionary —
+    // a full posting decode at corpus scale. Reject it like production
+    // engines do rather than silently running the most expensive query
+    // the index can express.
+    require(pattern.exists(c => c != '%' && c != '_'),
+      s"pattern '$pattern' has no literal characters (matches every term)")
     val prefix = pattern.takeWhile(c => c != '%' && c != '_')
     val like = col("term").like(pattern)
     expandedUnion(

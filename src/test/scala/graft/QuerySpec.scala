@@ -180,6 +180,9 @@ class QuerySpec extends SparkSpec {
     }
     assert(docSet(s.wildcard("term01%")) == docSet(s.prefix("term01")))
     assert(s.wildcard("zz%zz").count() == 0)
+    // all-wildcard patterns are rejected, not run as a full index decode
+    assertThrows[IllegalArgumentException](s.wildcard("%"))
+    assertThrows[IllegalArgumentException](s.wildcard("_%_"))
   }
 
   test("fuzzy equals the naive levenshtein filter; empty ball -> empty result") {
