@@ -219,6 +219,19 @@ class PlanSpec extends SparkSpec {
     assert(shards.head == 0L)
   }
 
+  test("collocations joins unigrams broadcast; keywords plans no Window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val collPlan = graft.ops.TextAnalysis
+      .collocations(docs, "text", minCount = 1, topN = 5)
+      .queryExecution.executedPlan.toString
+    assert(collPlan.contains("BroadcastHashJoin"), collPlan)
+    assert(!collPlan.contains("Window"), collPlan)
+    val kwPlan = graft.ops.TextAnalysis.keywords(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!kwPlan.contains("Window"), kwPlan)
+    assert(kwPlan.contains("MapGroups"), kwPlan)
+  }
+
   test("substring small path pushes the candidate key set into the corpus scan") {
     // the verify pass must be an In-pushdown parquet scan over the
     // candidate ids, not a corpus-wide contains() filter or a join
