@@ -126,6 +126,19 @@ object Dedup {
   private def materializeAndRelease(result: DataFrame,
       cached: Seq[DataFrame], stagingDir: Option[String]): DataFrame = {
     val spark = result.sparkSession
+    // measurement hook (guide §1): the returned frame is a scan of the
+    // staged table, so the interesting plan is the one BEHIND the staging
+    // write — dump it when a debug explain dir is configured
+    spark.conf.getOption("spark.graft.explainDir").foreach { d =>
+      val name = Thread.currentThread().getStackTrace
+        .map(_.getMethodName).find(m => m != "getStackTrace" &&
+          m != "materializeAndRelease" && !m.contains("$")).getOrElse("dedup")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, s"dedup_$name.txt"),
+        result.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
     val tmp = graft.util.Staging.newStagedDir(spark, "dedup",
       stagingDir)
     result.write.mode("overwrite").parquet(tmp)
