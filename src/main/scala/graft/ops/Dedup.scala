@@ -124,17 +124,15 @@ object Dedup {
     * shape: dedup stages checkpoint to a staging table anyway.
     */
   private def materializeAndRelease(result: DataFrame,
-      cached: Seq[DataFrame], stagingDir: Option[String]): DataFrame = {
+      cached: Seq[DataFrame], stagingDir: Option[String],
+      opName: String = "dedup"): DataFrame = {
     val spark = result.sparkSession
     // measurement hook (guide §1): the returned frame is a scan of the
     // staged table, so the interesting plan is the one BEHIND the staging
     // write — dump it when a debug explain dir is configured
     spark.conf.getOption("spark.graft.explainDir").foreach { d =>
-      val name = Thread.currentThread().getStackTrace
-        .map(_.getMethodName).find(m => m != "getStackTrace" &&
-          m != "materializeAndRelease" && !m.contains("$")).getOrElse("dedup")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(d, s"dedup_$name.txt"),
+        java.nio.file.Paths.get(d, s"dedup_$opName.txt"),
         result.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
@@ -156,24 +154,28 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, stagingDir: Option[String] = None): DataFrame = {
     // materialize the shingle table once: it feeds both sides of the
-    // self-join plus the size table — recomputing tokenize+shingle 3x is
-    // pure waste (at cluster scale this persist is a staging-table write)
+    // self-join — recomputing tokenize+shingle twice is pure waste (at
+    // cluster scale this persist is a staging-table write). The per-doc
+    // shingle-set size rides each exploded row (8 bytes) so the pair
+    // aggregation emits (a, b, sza, szb, common) directly — the old shape
+    // joined a separate size table back in TWICE, two extra shuffles of the
+    // pair relation for a value the explode already knew (guide §2.4).
     val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingleCol(col(textCol), n))).as("s"))
+      array_distinct(shingleCol(col(textCol), n)).as("arr"))
+      .select(col("id"), size(col("arr")).as("sz"), explode(col("arr")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy($("id")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("x").join(sh.as("y"),
+    // sz is functionally dependent on id, so grouping on (id, sz) pairs
+    // yields exactly the (a, b) groups of the old plan
+    val out = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
       .agg(count(lit(1)).as("common"))
-    val out = pairs
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
       .withColumn("jac", col("common").cast("double") /
         (col("sza") + col("szb") - col("common")))
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
-    materializeAndRelease(out, Seq(sh), stagingDir)
+    materializeAndRelease(out, Seq(sh), stagingDir, "jaccardPairs")
   }
 
   /** Benchmark decontamination: for every (corpus doc, probe doc) pair
@@ -255,7 +257,7 @@ object Dedup {
         aggregate(zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(k))
       .select(col("a"), col("b"), col("est_jaccard"))
-    materializeAndRelease(out, Seq(sh, sig), stagingDir)
+    materializeAndRelease(out, Seq(sh, sig), stagingDir, "minhashCandidates")
   }
 
   /** (id, sh: array<string>) distinct shingle sets per doc. */
@@ -315,7 +317,7 @@ object Dedup {
         (size(col("sha")) + size(col("shb")) - col("common")))
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
-    materializeAndRelease(out, Seq(sh, sig), stagingDir)
+    materializeAndRelease(out, Seq(sh, sig), stagingDir, "minhashDedup")
   }
 
   /** 64-bit SimHash over tokens (tf-weighted; Charikar's
@@ -446,10 +448,12 @@ object Dedup {
       val repRows = parent.keys.toSeq.map(k => (k, find(k)))
       import spark.implicits._
       val repDf = repRows.toDF("id", "rep")
-      val out = ids.join(broadcast(repDf), Seq("id"), "left")
+      // returned LAZY: nothing is cached on this path (the rep map is a
+      // driver-local broadcast), so the staging write the distributed path
+      // needs for cache release would be a pure extra write+read here
+      return ids.join(broadcast(repDf), Seq("id"), "left")
         .select(col("id").as(idCol),
           coalesce(col("rep"), col("id")).as("rep"))
-      return materializeAndRelease(out, Nil, stagingDir)
     }
     val edges = p.select(col("a").as("u"), col("b").as("v"))
       .union(p.select(col("b").as("u"), col("a").as("v")))
@@ -495,7 +499,7 @@ object Dedup {
     require(converged,
       s"clusters() did not converge in $maxRounds rounds (graph needs more; raise maxRounds)")
     val out = ids.join(labels, "id").select(col("id").as(idCol), col("rep"))
-    materializeAndRelease(out, Seq(edges, labels), stagingDir)
+    materializeAndRelease(out, Seq(edges, labels), stagingDir, "clusters")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
@@ -541,16 +545,20 @@ object Dedup {
     val right = salted.select(col("id"), col("sh"), col("band"), col("bucket"),
       explode(sequence(lit(0), col("salt"))).as("sa"),
       col("salt").as("sb"))
-    val popcount = udf((x: Long) => java.lang.Long.bitCount(x))
+    // hamming via the codegen'd bit_count builtin (the popcount UDF broke
+    // the whole-stage span around the join), and the <= maxDist filter runs
+    // BEFORE the distinct: a colliding band bucket emits every co-bucketed
+    // pair, nearly all far beyond maxDist — filtering first keeps them out
+    // of the dedup shuffle entirely (guide §2.3: shuffle fewer bytes)
     val out = left.as("x").join(right.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.sa") === col("y.sa") && col("x.sb") === col("y.sb") &&
           (col("x.sa") < col("x.sb") || col("x.id") < col("y.id")))
       .select(least(col("x.id"), col("y.id")).as("a"),
         greatest(col("x.id"), col("y.id")).as("b"),
-        popcount(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-      .distinct()
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
       .where(col("hamming") <= maxDist)
-    materializeAndRelease(out, Seq(sh), stagingDir)
+      .distinct()
+    materializeAndRelease(out, Seq(sh), stagingDir, "simhashPairs")
   }
 }

@@ -91,14 +91,37 @@ object IvfIndex {
       field("iters").toInt)
   }
 
+  /** Freshness signature of a sidecar/layout path: file names + lengths +
+    * mtimes. A driver-side FS listing — no Spark job — used to key the
+    * per-JVM metadata caches below so a rewrite (append folds the per-list
+    * minCos) invalidates naturally.
+    */
+  private[ops] def pathSig(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
+  private val listsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Array[ListInfo]]
+
   /** (list asc) -> centroid + widest-member-angle cosine, from the
-    * persisted sidecar.
+    * persisted sidecar. Memoized per (dir, sidecar signature): the sidecar
+    * is `nlist` rows of INDEX METADATA (the quantizer), and every query
+    * against an unchanged index would otherwise pay one Spark collect job
+    * just to re-read it — the same metadata-memo discipline as
+    * `Searcher.termStats`. An append rewrites the sidecar, changing the
+    * signature, so staleness is impossible.
     */
   def readLists(spark: SparkSession, dir: String): Array[ListInfo] =
-    spark.read.parquet(centroidsPath(dir))
-      .orderBy("list")
-      .collect()
-      .map(r => ListInfo(r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    listsCache.getOrElseUpdate((dir, pathSig(spark, centroidsPath(dir))),
+      spark.read.parquet(centroidsPath(dir))
+        .orderBy("list")
+        .collect()
+        .map(r => ListInfo(r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2))))
 
   private[graft] def cosineTo(v: IndexedSeq[Float], c: Array[Float]): Double = {
     var dot = 0.0; var nv = 0.0; var nc = 0.0
@@ -502,13 +525,20 @@ object IvfIndex {
         .agg(graft.functions.TopKBy.topk_by(col("cos"), col("id"), k).as("tk"))
     }
     val probe1 = qmeta.where(col("p1")).select("qid", "qvec", "list")
-    // batch-sized (one row per query) and referenced by BOTH the probe-set
-    // collect and the final write — persisted so round 1 runs once. LEFT
-    // join onto the batch's distinct qids: a query with zero round-1
+    // round 1's aggregate is (batch x k)-sized — persisted so it feeds the
+    // kth derivation AND the final merge without re-scanning the probed
+    // lists (the old shape re-ranked `probe1.union(probe2)`, paying the
+    // round-1 candidate join twice; guide §1.2: don't recompute what you
+    // already have). Merging is exact: probe1/probe2 list sets are disjoint
+    // per qid and each vector lives in exactly one list, so top-k over the
+    // union of candidates equals top-k over (top-k(round1) ∪ top-k(round2))
+    // under the same (rounded cos DESC, id ASC) total order.
+    val r1 = ranked(probe1).persist(lvl)
+    // LEFT join onto the batch's distinct qids: a query with zero round-1
     // candidates has no aggregate group, and must sweep all lists
     // (kth = -Inf), not vanish from the output (scaladoc; ADVICE item 1)
     val kth1 = qmeta.select("qid").distinct()
-      .join(ranked(probe1)
+      .join(r1
           .select(col("qid"),
             when(size(col("tk")) < k, lit(Double.NegativeInfinity))
               .otherwise(element_at(col("tk"), k).getField("score")).as("kth")),
@@ -520,12 +550,17 @@ object IvfIndex {
       .join(kth1, Seq("qid"))
       .where(col("bound") >= col("kth") - lit(5e-5) - lit(1e-12))
       .select("qid", "qvec", "list")
-    val out = ranked(probe1.union(probe2))
+    val out = r1.union(ranked(probe2))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKBy.topk_by(
+        col("e.score"), col("e.id"), k).as("tk"))
       .select(col("qid"), explode(col("tk")).as("e"))
       .select(col("qid"), col("e.id").as("id"), col("e.score").as("cos"))
     val tmp = graft.util.Staging.newStagedDir(spark, "ivf-batch", None)
     out.write.mode("overwrite").parquet(tmp)
     qmeta.unpersist()
+    r1.unpersist()
     kth1.unpersist()
     spark.read.parquet(tmp)
   }

@@ -48,6 +48,70 @@ object StreamingOps {
       }
     }
 
+  /** Total length of the files under `path` (driver-side listing, the same
+    * metadata the file source lists anyway).
+    */
+  private def inputBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isDirectory) fs.listStatus(st.getPath).map(walk).sum
+      else st.getLen
+    walk(fs.getFileStatus(p))
+  }
+
+  /** State-store partition count for a BOUNDED streaming run, derived from
+    * the input size (guide §2.2/§2.5: make partitioning scale-adaptive —
+    * derive it from the data, never from the local core count). A stateful
+    * streaming query creates one state store per shuffle partition and pays
+    * per-partition checkpoint/commit I/O EVERY micro-batch, so partitions
+    * are sized at ~`spark.graft.stream.bytesPerStatePartition` (default
+    * 32 MB) of input each: small bounded inputs get a handful of stores
+    * instead of one per core (measured: 32 stores over a 2 MB input spent
+    * more wall time in state commit than in the aggregation), and a 100-TB
+    * input derives thousands — the same monotone rule at every scale.
+    * Bounded above only by `spark.graft.stream.maxStatePartitions`
+    * (default 32768) as a runaway guard.
+    */
+  private def statePartitionsFor(spark: SparkSession, path: String): Int = {
+    val target = spark.conf
+      .getOption("spark.graft.stream.bytesPerStatePartition")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val cap = spark.conf.getOption("spark.graft.stream.maxStatePartitions")
+      .map(_.toInt).getOrElse(32768)
+    val bytes = inputBytes(spark, path)
+    math.max(1L, math.min((bytes + target - 1) / target, cap.toLong)).toInt
+  }
+
+  /** Run a bounded streaming query with (a) checkpoint checksums off
+    * ([[withoutCheckpointChecksums]] scaladoc) and (b)
+    * `spark.sql.shuffle.partitions` — which a streaming query captures at
+    * start as its STATE partition count — derived from the input size via
+    * [[statePartitionsFor]]. Both flips are session-global conf mutations,
+    * so they share the same lock-and-restore discipline.
+    */
+  private def withBoundedStreamConf[T](spark: SparkSession,
+      inputPath: String)(f: => T): T =
+    checksumFlipLock.synchronized {
+      val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+      val spKey = "spark.sql.shuffle.partitions"
+      val prevCk = spark.conf.getOption(ckKey)
+      val prevSp = spark.conf.getOption(spKey)
+      spark.conf.set(ckKey, "false")
+      spark.conf.set(spKey, statePartitionsFor(spark, inputPath).toString)
+      try f
+      finally {
+        prevCk match {
+          case Some(v) => spark.conf.set(ckKey, v)
+          case None => spark.conf.unset(ckKey)
+        }
+        prevSp match {
+          case Some(v) => spark.conf.set(spKey, v)
+          case None => spark.conf.unset(spKey)
+        }
+      }
+    }
+
   /** The production streaming form: watermarked tumbling-window aggregation
     * over an event stream, returned as an unstarted streaming DataFrame for
     * the caller to sink (update mode + an incremental sink — kafka/delta/
@@ -121,7 +185,7 @@ object StreamingOps {
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         agg.schema.add("batch_id", org.apache.spark.sql.types.LongType))
       .write.mode("overwrite").parquet(logDir)
-    withoutCheckpointChecksums(spark) {
+    withBoundedStreamConf(spark, eventsPath) {
       val q = agg.writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!batch.isEmpty)
@@ -202,7 +266,7 @@ object StreamingOps {
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         dd.schema.add("batch_id", org.apache.spark.sql.types.LongType))
       .write.mode("overwrite").parquet(logDir)
-    withoutCheckpointChecksums(spark) {
+    withBoundedStreamConf(spark, eventsPath) {
       val q = dd.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!batch.isEmpty)
@@ -311,7 +375,7 @@ object StreamingOps {
     spark.range(0).selectExpr("id AS user_id", "id AS sid",
         "id AS n_events", "id AS duration_sec", "id AS batch_id")
       .limit(0).write.mode("overwrite").parquet(logDir)
-    withoutCheckpointChecksums(spark) {
+    withBoundedStreamConf(spark, srcDir.toString) {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", math.max(1, dataFiles.length).toString)
         .parquet(srcDir.toString)

@@ -33,6 +33,29 @@ object Staging {
       (org.apache.hadoop.conf.Configuration, String)]()
   private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  private val caches = new java.util.concurrent.ConcurrentLinkedQueue[
+    org.apache.spark.sql.DataFrame]()
+
+  /** Track a persisted intermediate whose natural lifetime is "until the
+    * end of the run": operators whose RESULT stays lazy (so the cache must
+    * outlive the call) register here instead of leaking the cache for the
+    * session lifetime — the unscoped [[dropStaged]] drain (Bench/Verify end,
+    * shutdown hook) unpersists them.
+    */
+  def registerCache(df: org.apache.spark.sql.DataFrame): Unit =
+    caches.add(df): Unit
+
+  /** Unpersist every registered cache (idempotent; unpersist of an already
+    * released frame is a no-op).
+    */
+  def releaseCaches(): Unit = {
+    var df = caches.poll()
+    while (df != null) {
+      try df.unpersist() catch { case NonFatal(_) => () }
+      df = caches.poll()
+    }
+  }
+
   /** Reserve (and register for reclamation) a fresh staged dir path under
     * the resolved root. The caller writes to it; nothing is created here.
     */
@@ -63,6 +86,9 @@ object Staging {
     */
   def dropStaged(under: Option[String] = None,
       prefix: Option[String] = None): Unit = {
+    // the unscoped call is the end-of-run drain: release registered
+    // caches too (scoped calls leave them — their consumers may be lazy)
+    if (under.isEmpty && prefix.isEmpty) releaseCaches()
     val keep = new java.util.ArrayList[
       (org.apache.hadoop.conf.Configuration, String)]()
     var e = staged.poll()

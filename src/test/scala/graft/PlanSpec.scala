@@ -232,6 +232,43 @@ class PlanSpec extends SparkSpec {
     assert(kwPlan.contains("MapGroups"), kwPlan)
   }
 
+  test("collocations/keywords vocab joins: broadcast by default, plain join on fallback") {
+    // the round-6 verdict's one 100-TB hazard: an unguarded broadcast()
+    // hint on a vocab-sized table OOMs instead of degrading. With the
+    // switch off the plan must hold NO broadcast hash join on the vocab
+    // side (same discipline as the dedupLines test below); size-based
+    // auto-broadcast is disabled so the plans show ONLY the switch.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val coll = graft.ops.TextAnalysis
+        .collocations(docs, "text", minCount = 1, topN = 5,
+          broadcastUnigrams = false)
+        .queryExecution.executedPlan.toString
+      assert(!coll.contains("BroadcastHashJoin"), coll)
+      val kwPlan = graft.ops.TextAnalysis
+        .keywords(docs, "doc_id", "text", 3, broadcastDf = false)
+        .queryExecution.executedPlan.toString
+      assert(!kwPlan.contains("BroadcastHashJoin"), kwPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("fuzzy phase 1 dictionary scan: length band ahead of levenshtein, blobs pruned") {
+    // the band predicate is free and must gate the O(n*m) levenshtein in
+    // the stats-only dictionary scan (round-6 verdict item 5)
+    val dict = s.segments.select("term").distinct()
+      .where(abs(length(col("term")) - lit(2)) <= 1 &&
+        levenshtein(col("term"), lit("w1")) <= 1)
+    val plan = dict.queryExecution.executedPlan.toString
+    assert(plan.contains("length(term"), plan)
+    assert(plan.contains("levenshtein"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("blocks"), readSchema)
+    // and the operator's own result is unchanged by the band
+    assert(s.fuzzy("w1", maxDist = 1).count() > 0)
+  }
+
   test("substring small path pushes the candidate key set into the corpus scan") {
     // the verify pass must be an In-pushdown parquet scan over the
     // candidate ids, not a corpus-wide contains() filter or a join
