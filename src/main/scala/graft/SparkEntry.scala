@@ -45,8 +45,24 @@ object IndexCache {
       dir
     })
 
+  private val searchers =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  /** Searcher over [[full]], cached per sfDir: the cached index dirs are
+    * immutable once built, and a fresh Searcher per query threw away the
+    * per-instance term-stats memo — every index query paid a stats-lookup
+    * Spark job for stats the previous query already fetched (the memo IS
+    * the reference's lazily-cached posting handles, block.rs:279-292; only
+    * its lifetime changes here).
+    */
   def searcher(spark: SparkSession, sfDir: String): Searcher =
-    new Searcher(spark, full(spark, sfDir))
+    searchers.getOrElseUpdate(s"full:$sfDir",
+      new Searcher(spark, full(spark, sfDir)))
+
+  /** Searcher over [[trigram]], cached like [[searcher]]. */
+  def trigramSearcher(spark: SparkSession, sfDir: String): Searcher =
+    searchers.getOrElseUpdate(s"trigram:$sfDir",
+      new Searcher(spark, trigram(spark, sfDir)))
 
   /** Trigram-analyzed index over the documents table (exact substring
     * search, Searcher.substring). Positions off: the substring verify pass
@@ -513,14 +529,14 @@ object SparkEntry {
     // source text with the codegen'd Contains. Oracle = the brute-force
     // contains() relation, so candidate recall is gated end-to-end.
     "q48_ii_substring" -> ((s, dir) =>
-      new Searcher(s, IndexCache.trigram(s, dir))
+      IndexCache.trigramSearcher(s, dir)
         .substring("order sort", s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text")),
     // multi-literal search (the pure-alternation regex case): ONE posting
     // fetch serves every needle's window conjunction; the absent needle
     // drops out at the stats lookup without touching a posting blob
     "q49_ii_substring_any" -> ((s, dir) =>
-      new Searcher(s, IndexCache.trigram(s, dir))
+      IndexCache.trigramSearcher(s, dir)
         .substringAny(Seq("order sort", "stream spark", "zz@@absent"),
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     // occurrence-ranked substring top-k: counting arithmetic (codegen'd
@@ -529,7 +545,7 @@ object SparkEntry {
     // candidate count so the oracle gates the SEMI-JOIN fallback path
     // (q48/q49 gate the zero-join pushdown path)
     "q50_ii_substring_topk" -> ((s, dir) =>
-      new Searcher(s, IndexCache.trigram(s, dir))
+      IndexCache.trigramSearcher(s, dir)
         .substringTopK("order", s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", k = 20, pushdownLimit = 256)),
     // wildcard term match: 's%a%' expands to scan/small/spark/stream on
@@ -548,7 +564,7 @@ object SparkEntry {
     // substring KWIC: first-occurrence position + a 12-char context window,
     // snippet arithmetic only on verified trigram candidates
     "q53_ii_substring_kwic" -> ((s, dir) =>
-      new Searcher(s, IndexCache.trigram(s, dir))
+      IndexCache.trigramSearcher(s, dir)
         .substringKwic("order sort", s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", window = 12)),
     // per-doc TF-IDF keyword extraction WITHOUT a window function: the
@@ -562,7 +578,7 @@ object SparkEntry {
     // = codegen'd RLike — completing the Cox trigram-regex trio with q48
     // (literal) and q49 (alternation)
     "q55_ii_substring_ordered" -> ((s, dir) =>
-      new Searcher(s, IndexCache.trigram(s, dir))
+      IndexCache.trigramSearcher(s, dir)
         .substringOrdered(Seq("merge", "window"),
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
     // percolator (standing queries, retrieval inverted): three saved

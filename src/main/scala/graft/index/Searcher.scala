@@ -112,6 +112,9 @@ class Searcher(val spark: SparkSession, val dir: String,
   @transient private lazy val statsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[TermStats]]()
 
+  @transient private lazy val touchedSegCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Array[(Int, Long)]]()
+
   /** Global stats for query terms — a driver-side lookup of index *metadata*
     * (few rows, term pushdown into each wave's term-sorted stats file),
     * memoized per term so repeated queries over a Searcher pay no lookup job
@@ -774,9 +777,13 @@ class Searcher(val spark: SparkSession, val dir: String,
     val segLimit = 4096
     val prunedNorms =
       if (expectedDocs / math.max(1, manifest.docsPerSegment) < segLimit) {
-        val touched = postings(presentSeq)
-          .select("wave", "segId").distinct().limit(segLimit + 1).collect()
-          .map(r => (r.getInt(0), r.getLong(1)))
+        // memoized per term set: index metadata like termStats — the
+        // rounded-tie widening loop (and q24/q46 re-running a q06-shaped
+        // search) re-collected the same touched-segment set per fetch
+        val touched = touchedSegCache.computeIfAbsent(presentSeq.sorted, _ =>
+          postings(presentSeq)
+            .select("wave", "segId").distinct().limit(segLimit + 1).collect()
+            .map(r => (r.getInt(0), r.getLong(1))))
         if (touched.length <= segLimit) {
           val segIds = touched.map(_._2).distinct.toSeq
           val waves2 = touched.map(_._1).distinct.toSeq

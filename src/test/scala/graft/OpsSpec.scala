@@ -1016,6 +1016,35 @@ class OpsSpec extends SparkSpec {
         Map(1 -> "NOT spark")))
   }
 
+  test("percolate: clause index prunes the candidate set at 1000+ registered queries") {
+    // 1200 standing queries, each requiring a distinct term tNNN; only a
+    // handful can ever match a doc holding 3 such terms. The inverted
+    // term -> query map must keep evaluations near |docs| x |hits|, not
+    // |docs| x |queries| — and the result must equal the brute-force
+    // expectation exactly.
+    val nq = 1200
+    val queries = (1 to nq).map(i => i -> s"t$i AND NOT absent").toMap ++
+      Map(nq + 1 -> "zz* OR t7") // a no-required-set residue query
+    val docs = (0L until 100L)
+      .map(i => (i, s"t${i * 3 % nq + 1} t${(i * 3 + 1) % nq + 1} prefix${i}x"))
+      .toDF("doc_id", "text")
+    graft.query.Percolate.evalCount.reset()
+    val got = graft.query.Percolate
+      .percolate(docs, "doc_id", "text", queries)
+      .as[(Long, Int)].collect().toSet
+    val expected = (0L until 100L).flatMap { i =>
+      val terms = Set(s"t${i * 3 % nq + 1}", s"t${(i * 3 + 1) % nq + 1}")
+      val hits = (1 to nq).filter(q => terms.contains(s"t$q")).map(i -> _)
+      val resid = if (terms.contains("t7")) Seq(i -> (nq + 1)) else Nil
+      hits ++ resid
+    }.toSet
+    assert(got == expected)
+    val evals = graft.query.Percolate.evalCount.sum()
+    // 100 docs x (2 term hits + 1 residue) = 300 expected evaluations;
+    // allow slack for speculative/retried tasks, but far below 100 x 1201
+    assert(evals <= 3000, s"candidate pruning ineffective: $evals evals")
+  }
+
   test("dedupLines strips cross-doc lines, keeps order, handles all-boilerplate docs") {
     val df = Seq(
       (0L, "shared header\nunique zero\nshared footer"),
