@@ -481,9 +481,12 @@ object IvfIndex {
     * `broadcastProbes` settings.
     */
   private[graft] def batchCandidates(spark: SparkSession, dir: String,
-      probes: DataFrame, broadcastProbes: Boolean): DataFrame = {
-    // bounded driver fan-in: at most nlist distinct list ids
-    val ls = probes.select("list").distinct().collect().map(_.getInt(0)).toSeq
+      probes: DataFrame, broadcastProbes: Boolean,
+      listsOf: Option[Seq[Int]] = None): DataFrame = {
+    // bounded driver fan-in: at most nlist distinct list ids (callers that
+    // built the probe table driver-side pass the set directly)
+    val ls = listsOf.getOrElse(
+      probes.select("list").distinct().collect().map(_.getInt(0)).toSeq)
     val probeSide = if (broadcastProbes) broadcast(probes) else probes
     spark.read.parquet(dataPath(dir))
       .where(col("list").isin(ls: _*)) // partition pruning, as candidatesFor
@@ -500,57 +503,104 @@ object IvfIndex {
     val listIds = lists.map(_.list)
     val np = math.min(nprobe0, lists.length)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val meta = udf { (v: Seq[Float]) =>
-      if (v == null) Seq.empty[(Int, Double, Boolean)]
-      else {
-        val iv = v.toIndexedSeq
-        val cq = Array.tabulate(cents.length)(l => cosineTo(iv, cents(l)))
-        val p1 = cq.indices.sortBy(l => (-cq(l), l)).take(np).toSet
-        cq.indices.map(l =>
-          (listIds(l), listBound(cq(l), minCs(l)), p1.contains(l)))
-      }
-    }
-    val qmeta = queries
-      .select(col(qidCol).cast("long").as("qid"), col(vecCol).as("qvec"))
-      .select(col("qid"), col("qvec"), explode(meta(col("qvec"))).as("m"))
-      .select(col("qid"), col("qvec"), col("m._1").as("list"),
-        col("m._2").as("bound"), col("m._3").as("p1"))
-      .persist(lvl)
-    def ranked(probes: DataFrame): DataFrame = {
-      val cand = batchCandidates(spark, dir, probes, broadcastProbes)
+    def ranked(probes: DataFrame, ls: Option[Seq[Int]]): DataFrame = {
+      val cand = batchCandidates(spark, dir, probes, broadcastProbes, ls)
       val base = if (excludeSelf) cand.where(col("id") =!= col("qid")) else cand
       base.select(col("qid"),
           round(cosine_sim(col("vec"), col("qvec")), 4).as("cos"), col("id"))
         .groupBy(col("qid"))
         .agg(graft.functions.TopKBy.topk_by(col("cos"), col("id"), k).as("tk"))
     }
-    val probe1 = qmeta.where(col("p1")).select("qid", "qvec", "list")
-    // round 1's aggregate is (batch x k)-sized — persisted so it feeds the
-    // kth derivation AND the final merge without re-scanning the probed
-    // lists (the old shape re-ranked `probe1.union(probe2)`, paying the
-    // round-1 candidate join twice; guide §1.2: don't recompute what you
-    // already have). Merging is exact: probe1/probe2 list sets are disjoint
-    // per qid and each vector lives in exactly one list, so top-k over the
-    // union of candidates equals top-k over (top-k(round1) ∪ top-k(round2))
-    // under the same (rounded cos DESC, id ASC) total order.
-    val r1 = ranked(probe1).persist(lvl)
-    // LEFT join onto the batch's distinct qids: a query with zero round-1
-    // candidates has no aggregate group, and must sweep all lists
-    // (kth = -Inf), not vanish from the output (scaladoc; ADVICE item 1)
-    val kth1 = qmeta.select("qid").distinct()
-      .join(r1
-          .select(col("qid"),
-            when(size(col("tk")) < k, lit(Double.NegativeInfinity))
-              .otherwise(element_at(col("tk"), k).getField("score")).as("kth")),
-        Seq("qid"), "left")
-      .select(col("qid"),
-        coalesce(col("kth"), lit(Double.NegativeInfinity)).as("kth"))
-      .persist(lvl)
-    val probe2 = qmeta.where(!col("p1"))
-      .join(kth1, Seq("qid"))
-      .where(col("bound") >= col("kth") - lit(5e-5) - lit(1e-12))
-      .select("qid", "qvec", "list")
-    val out = r1.union(ranked(probe2))
+    var cleanup: () => Unit = () => ()
+    // Merging round 1 into the final selection is exact: probe1/probe2 list
+    // sets are disjoint per qid and each vector lives in exactly one list,
+    // so top-k over the union of candidates equals top-k over
+    // (top-k(round1) ∪ top-k(round2)) under the same
+    // (rounded cos DESC, id ASC) total order — round 1 is never re-scanned
+    // (guide §1.2: don't recompute what you already have).
+    val (r1, out) = if (broadcastProbes) {
+      // Interactive-batch path: the probe table broadcasts anyway, i.e. the
+      // batch is ASSUMED to fit one machine's memory — so probe selection
+      // and certification run driver-side over the collected batch (§5:
+      // bounded driver work replacing 3 Spark jobs: the meta-UDF pass, the
+      // distinct-qid/kth join, and the probe-table persists).
+      val qrows = queries
+        .select(col(qidCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+        .where(col("qvec").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val metaByQ = qrows.map { case (qid, qv) =>
+        val iv = qv.toIndexedSeq
+        val cq = Array.tabulate(cents.length)(l => cosineTo(iv, cents(l)))
+        val p1 = cq.indices.sortBy(l => (-cq(l), l)).take(np).toSet
+        (qid, qv, cq, p1)
+      }
+      import spark.implicits._
+      val probe1Rows = metaByQ.flatMap { case (qid, qv, _, p1) =>
+        p1.toSeq.sorted.map(l => (qid, qv, listIds(l)))
+      }.toSeq
+      val probe1 = probe1Rows.toDF("qid", "qvec", "list")
+      val r1 = ranked(probe1,
+        Some(probe1Rows.map(_._3).distinct)).persist(lvl)
+      // kth per query from the collected round-1 aggregate ((batch x k)
+      // rows — the same driver envelope as the batch itself); queries with
+      // NO round-1 group (zero candidates) default to -Inf and sweep all
+      // lists, as the single-query topK does (round-6 fix, ADVICE item 1)
+      val kth: Map[Long, Double] = r1.select(col("qid"),
+          when(size(col("tk")) < k, lit(Double.NegativeInfinity))
+            .otherwise(element_at(col("tk"), k).getField("score")).as("kth"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val probe2Rows = metaByQ.flatMap { case (qid, qv, cq, p1) =>
+        val t = kth.getOrElse(qid, Double.NegativeInfinity) - 5e-5 - 1e-12
+        cq.indices.filter(l => !p1.contains(l))
+          .filter(l => listBound(cq(l), minCs(l)) >= t)
+          .map(l => (qid, qv, listIds(l)))
+      }.toSeq
+      val probe2 = probe2Rows.toDF("qid", "qvec", "list")
+      val r2 = ranked(probe2, Some(probe2Rows.map(_._3).distinct))
+      (r1, r1.union(r2))
+    } else {
+      // Oversized-batch path: everything distributed, plain joins AQE can
+      // plan from real sizes (scaladoc) — the original shape.
+      val meta = udf { (v: Seq[Float]) =>
+        if (v == null) Seq.empty[(Int, Double, Boolean)]
+        else {
+          val iv = v.toIndexedSeq
+          val cq = Array.tabulate(cents.length)(l => cosineTo(iv, cents(l)))
+          val p1 = cq.indices.sortBy(l => (-cq(l), l)).take(np).toSet
+          cq.indices.map(l =>
+            (listIds(l), listBound(cq(l), minCs(l)), p1.contains(l)))
+        }
+      }
+      val qmeta = queries
+        .select(col(qidCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+        .select(col("qid"), col("qvec"), explode(meta(col("qvec"))).as("m"))
+        .select(col("qid"), col("qvec"), col("m._1").as("list"),
+          col("m._2").as("bound"), col("m._3").as("p1"))
+        .persist(lvl)
+      val probe1 = qmeta.where(col("p1")).select("qid", "qvec", "list")
+      val r1 = ranked(probe1, None).persist(lvl)
+      // LEFT join onto the batch's distinct qids: a query with zero round-1
+      // candidates has no aggregate group, and must sweep all lists
+      // (kth = -Inf), not vanish from the output (ADVICE item 1)
+      val kth1 = qmeta.select("qid").distinct()
+        .join(r1
+            .select(col("qid"),
+              when(size(col("tk")) < k, lit(Double.NegativeInfinity))
+                .otherwise(element_at(col("tk"), k).getField("score")).as("kth")),
+          Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("kth"), lit(Double.NegativeInfinity)).as("kth"))
+        .persist(lvl)
+      val probe2 = qmeta.where(!col("p1"))
+        .join(kth1, Seq("qid"))
+        .where(col("bound") >= col("kth") - lit(5e-5) - lit(1e-12))
+        .select("qid", "qvec", "list")
+      // qmeta/kth1 release after the final write below
+      cleanup = () => { qmeta.unpersist(); kth1.unpersist() }
+      (r1, r1.union(ranked(probe2, None)))
+    }
+    val out2 = out
       .select(col("qid"), explode(col("tk")).as("e"))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKBy.topk_by(
@@ -558,10 +608,9 @@ object IvfIndex {
       .select(col("qid"), explode(col("tk")).as("e"))
       .select(col("qid"), col("e.id").as("id"), col("e.score").as("cos"))
     val tmp = graft.util.Staging.newStagedDir(spark, "ivf-batch", None)
-    out.write.mode("overwrite").parquet(tmp)
-    qmeta.unpersist()
+    out2.write.mode("overwrite").parquet(tmp)
     r1.unpersist()
-    kth1.unpersist()
+    cleanup()
     spark.read.parquet(tmp)
   }
 }
