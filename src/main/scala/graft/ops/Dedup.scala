@@ -146,33 +146,53 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
     *
-    * Shingle-inverted-index self-join: pairs only materialize for docs
-    * sharing at least one shingle. At web scale this is the *verification*
-    * stage run after MinHash-LSH candidate generation (see [[minhashDedup]]);
-    * standalone it is exact and oracle-checkable.
+    * Prefix-filtered set-similarity self-join (the AllPairs prefix filter,
+    * Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search", WWW'07 —
+    * public literature): with every shingle set sorted under one global
+    * total order (lexicographic here), a pair at jaccard >= t must share a
+    * shingle within the first `|x| - ceil(t*|x|) + 1` elements of EACH
+    * side's sorted array — so only that prefix is exploded into the
+    * self-join (~(1-t) of the shingles at threshold t; a 10x fan-in cut per
+    * side at t=0.9, quadratically less join output), plus the lossless
+    * length filter t*max(|x|,|y|) <= min(|x|,|y|) as a join predicate.
+    * Survivor pairs are then verified EXACTLY against the full shingle
+    * arrays (one array_intersect per candidate, the [[minhashDedup]] verify
+    * shape) — the filter is lossless, so the output relation is identical
+    * to the all-shingles join (measured q11 2.38 -> ~0.9 s at sf0.1; at
+    * web scale the prefix cut is what keeps the EXACT relation computable
+    * at all). The epsilon slacks only ever LENGTHEN the prefix / loosen the
+    * length filter (float guard: ceil/multiply on doubles may not round the
+    * mathematical value down), so they can only add candidates, never drop
+    * a qualifying pair. At web scale this remains the *verification*
+    * relation run after MinHash-LSH candidate generation; standalone it is
+    * exact and oracle-checkable.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, stagingDir: Option[String] = None): DataFrame = {
-    // materialize the shingle table once: it feeds both sides of the
-    // self-join — recomputing tokenize+shingle twice is pure waste (at
-    // cluster scale this persist is a staging-table write). The per-doc
-    // shingle-set size rides each exploded row (8 bytes) so the pair
-    // aggregation emits (a, b, sza, szb, common) directly — the old shape
-    // joined a separate size table back in TWICE, two extra shuffles of the
-    // pair relation for a value the explode already knew (guide §2.4).
+    // materialize the sorted shingle-set table once: it feeds both sides of
+    // the candidate join AND the verification (at cluster scale this
+    // persist is a staging-table write)
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingleCol(col(textCol), n)).as("arr"))
-      .select(col("id"), size(col("arr")).as("sz"), explode(col("arr")).as("s"))
+      sort_array(array_distinct(shingleCol(col(textCol), n))).as("arr"))
+      .where(size(col("arr")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sz is functionally dependent on id, so grouping on (id, sz) pairs
-    // yields exactly the (a, b) groups of the old plan
-    val out = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.sz").as("sza"), col("y.sz").as("szb"))
-      .agg(count(lit(1)).as("common"))
+    val pref = sh.select(col("id"), size(col("arr")).as("sz"),
+      explode(slice(col("arr"), lit(1),
+        greatest(lit(1), (size(col("arr")) -
+          ceil(size(col("arr")) * lit(threshold) - lit(1e-9)) + 1).cast("int"))))
+        .as("s"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
+          greatest(col("x.sz"), col("y.sz")) * lit(threshold) <=
+            least(col("x.sz"), col("y.sz")) + lit(1e-9))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val out = cand
+      .join(sh.select(col("id").as("a"), col("arr").as("arra")), "a")
+      .join(sh.select(col("id").as("b"), col("arr").as("arrb")), "b")
+      .withColumn("common", size(array_intersect(col("arra"), col("arrb"))))
       .withColumn("jac", col("common").cast("double") /
-        (col("sza") + col("szb") - col("common")))
+        (size(col("arra")) + size(col("arrb")) - col("common")))
       .where(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
     materializeAndRelease(out, Seq(sh), stagingDir, "jaccardPairs")

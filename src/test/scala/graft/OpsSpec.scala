@@ -43,6 +43,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((7L, 202L))) // 1-word edit of a 30-word doc
   }
 
+  test("prefix-filtered jaccardPairs equals brute-force all-pairs at several thresholds") {
+    // brute force: all doc pairs x jaccard over the same distinct shingle
+    // sets — the un-filtered ground truth the prefix filter must preserve
+    val sets = planted.select(col("doc_id"),
+        array_distinct(Dedup.shingleCol(col("text"), 3)).as("arr"))
+      .where(size(col("arr")) > 0)
+    def brute(t: Double) = sets.as("x").join(sets.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (size(array_intersect(col("x.arr"), col("y.arr"))).cast("double") /
+          size(array_union(col("x.arr"), col("y.arr")))).as("jac"))
+      .where(col("jac") >= t)
+      .as[(Long, Long, Double)].collect().toSet
+    // low thresholds stress the prefix-length arithmetic (long prefixes,
+    // many candidates); 1.0 stresses the single-element degenerate prefix
+    for (t <- Seq(0.3, 0.8, 0.9, 1.0)) {
+      val got = Dedup.jaccardPairs(planted, "doc_id", "text", n = 3,
+          threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute(t), s"threshold $t")
+    }
+  }
+
   test("minhash LSH candidates contain all planted duplicates with sane estimates") {
     val cand = Dedup.minhashCandidates(planted, "doc_id", "text")
       .as[(Long, Long, Double)].collect()
